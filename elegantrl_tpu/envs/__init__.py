@@ -1,0 +1,8 @@
+from .base import EnvSpec, EnvDef, VecEnv, vec_reset, vec_step  # noqa: F401
+from .pendulum import PendulumEnv, make_pendulum  # noqa: F401
+from .cartpole import CartPoleEnv, make_cartpole  # noqa: F401
+from .point_chasing import (  # noqa: F401
+    PointChasingEnv, PointChasingVecEnv, PointChasingDiscreteEnv,
+    make_point_chasing, make_point_chasing_discrete,
+)
+from .stock_trading import StockTradingEnv, StockTradingVecEnv, make_stock_trading  # noqa: F401
