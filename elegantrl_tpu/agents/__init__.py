@@ -1,0 +1,10 @@
+from .base import AgentDef, Rollout  # noqa: F401
+from .ppo import (  # noqa: F401
+    AgentPPO, AgentA2C, AgentDiscretePPO, AgentDiscreteA2C, make_ppo,
+)
+from .dqn import (  # noqa: F401
+    AgentDQN, AgentDoubleDQN, AgentDuelingDQN, AgentD3QN, make_dqn,
+)
+from .embed_dqn import AgentEmbedDQN, AgentEnsembleDQN, make_embed_dqn  # noqa: F401
+from .ddpg_td3 import AgentDDPG, AgentTD3, make_ddpg, make_td3  # noqa: F401
+from .sac import AgentSAC, AgentModSAC, make_sac  # noqa: F401

@@ -1,0 +1,136 @@
+"""Agent abstraction: pure functions over a parameter/optimizer pytree.
+
+The reference's ``AgentBase`` (AgentBase.py:16-297) is a stateful class whose
+hot methods are ``explore_env`` (Python loop over ``env.step``) and
+``update_net`` (Python loop of minibatch SGD steps).  TPU-native redesign:
+
+- an *agent definition* is a bundle of pure functions (init / explore_action /
+  greedy_action / update) produced by a ``make_*`` factory from the static
+  config — everything jit-traceable;
+- *rollout collection* is a ``lax.scan`` over the vectorized env step fused
+  with actor inference (:func:`collect_rollout`), producing the reference's
+  exact buffer-item contract: time-major ``(horizon_len, num_envs, ...)``
+  tensors with ``undones = ~terminal`` and ``unmasks = ~truncate``
+  (AgentBase.py:130-170);
+- the SGD loop is a ``lax.scan``/``fori_loop`` inside the same jit program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..envs.base import EnvDef, vec_step
+
+Params = Any
+PRNGKey = jax.Array
+
+
+class Rollout(NamedTuple):
+    """One exploration segment, shapes per reference AgentBase.py:85-91:
+    states   (H, N, state_dim)
+    actions  (H, N, action_dim) float  |  (H, N) int32 for discrete
+    logprobs (H, N) for on-policy agents, else None
+    rewards  (H, N)  — already multiplied by reward_scale
+    undones  (H, N) float  — 1.0 - terminal
+    unmasks  (H, N) float  — 1.0 - truncate
+    """
+    states: jax.Array
+    actions: jax.Array
+    logprobs: Optional[jax.Array]
+    rewards: jax.Array
+    undones: jax.Array
+    unmasks: jax.Array
+
+
+class AgentDef(NamedTuple):
+    """Pure-functional agent. ``update`` signature differs by family:
+
+    on-policy:  update(agent_state, rollout, last_obs, key) -> (agent_state, metrics)
+    off-policy: update(agent_state, buffer_state, key) -> (agent_state, metrics)
+
+    ``metrics`` is a dict of scalars (obj_critic, obj_actor, ...).
+    """
+    name: str
+    if_off_policy: bool
+    if_discrete: bool
+    init: Callable[[PRNGKey], Any]
+    explore_action: Callable[[Any, jax.Array, PRNGKey], Tuple[jax.Array, Optional[jax.Array]]]
+    greedy_action: Callable[[Any, jax.Array], jax.Array]
+    env_action: Callable[[jax.Array], jax.Array]  # converts stored action -> env action
+    update: Callable[..., Tuple[Any, dict]]
+
+
+def make_optimizer(learning_rate: float, clip_grad_norm: float) -> optax.GradientTransformation:
+    """Reference ``optimizer_backward`` = clip-grad-norm then Adam
+    (AgentBase.py:239-248) with torch Adam defaults (eps=1e-8)."""
+    return optax.chain(
+        optax.clip_by_global_norm(clip_grad_norm),
+        optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+def grad_step(optimizer: optax.GradientTransformation, params: Params,
+              opt_state: Any, grads: Params) -> Tuple[Params, Any]:
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state
+
+
+def collect_rollout(env: EnvDef, agent_state: Any,
+                    explore_action: Callable,
+                    env_action: Callable,
+                    env_state: Any, obs: jax.Array, key: PRNGKey,
+                    horizon_len: int, reward_scale: float,
+                    ) -> Tuple[Rollout, Any, jax.Array]:
+    """Fused actor-inference + env-step scan.
+
+    Replaces the reference's ``_explore_vec_env`` Python loop
+    (AgentBase.py:130-170).  Stores the *raw* sampled action (pre-tanh for
+    PPO — AgentPPO.py:115-119 stores ``action`` and steps with
+    ``convert(action)``) and the post-step reward/terminal/truncate flags.
+    Returns (rollout, final_env_state, final_obs).
+    """
+
+    def body(carry, key_t):
+        env_state, obs = carry
+        k_act, k_env = jax.random.split(key_t)
+        action, logprob = explore_action(agent_state, obs, k_act)
+        env_state, next_obs, reward, terminal, truncate = vec_step(
+            env, env_state, env_action(action), k_env)
+        out = (obs, action, logprob, reward,
+               jnp.logical_not(terminal), jnp.logical_not(truncate))
+        return (env_state, next_obs), out
+
+    keys = jax.random.split(key, horizon_len)
+    (env_state, obs), (states, actions, logprobs, rewards, undones, unmasks) = \
+        jax.lax.scan(body, (env_state, obs), keys)
+
+    rollout = Rollout(
+        states=states,
+        actions=actions,
+        logprobs=logprobs,
+        rewards=rewards * reward_scale,
+        undones=undones.astype(jnp.float32),
+        unmasks=unmasks.astype(jnp.float32),
+    )
+    return rollout, env_state, obs
+
+
+def chunked_map(fn: Callable[[jax.Array], jax.Array], x: jax.Array) -> jax.Array:
+    """Apply ``fn`` over the leading (time) axis one step at a time via
+    ``lax.map`` — bounds activation memory like the reference's chunked value
+    re-evaluation (AgentPPO.py:141-143) without materialising (H*N, hidden).
+    """
+    return jax.lax.map(fn, x)
+
+
+def sample_flat_ids(key: PRNGKey, horizon: int, num_seqs: int, batch_size: int
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Uniform (t, env) index pairs, the reference's minibatch sampler
+    (AgentPPO.py:176-181): ids over H*N flattened, ids0 = ids % H,
+    ids1 = ids // H."""
+    ids = jax.random.randint(key, (batch_size,), 0, horizon * num_seqs)
+    return ids % horizon, ids // horizon

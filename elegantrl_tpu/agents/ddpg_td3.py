@@ -1,0 +1,169 @@
+"""DDPG and TD3 (TPU-native).
+
+Behavioral parity targets (reference ``elegantrl/agents/AgentTD3.py``):
+
+- deterministic tanh actor with Gaussian exploration noise, clipped to
+  [-1, 1] (Actor.get_action, AgentTD3.py:132-136);
+- critic(s, a) = MLP over concat; ``CriticTwin`` = shared trunk with
+  ``num_ensembles`` output heads (:146-150); the scalar critic value is the
+  head mean (CriticBase.forward, AgentBase.py:332-335);
+- TD3: target action smoothed with ``policy_noise_std`` (sampled from the
+  *online* actor, as the reference does at AgentTD3.py:44), ``min`` over the
+  head ensemble for the TD target (:45), delayed actor update every
+  ``update_freq`` steps (:63-67);
+- DDPG: the generic ``AgentBase.update_objectives`` path (AgentBase.py:191-224)
+  with its exact quirks — ``q_value * unmask`` inside the TD error and the
+  actor update gated on ``cur_size >= buffer_init_size``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nets import mlp_apply, mlp_init, soft_update
+from .base import AgentDef, grad_step, make_optimizer
+from .off_policy import make_offpolicy_update
+
+
+class DDPGState(NamedTuple):
+    act: list
+    act_target: list
+    cri: list
+    cri_target: list
+    act_opt: tuple
+    cri_opt: tuple
+
+
+def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
+          td3: bool) -> AgentDef:
+    gamma = float(getattr(args, 'gamma', 0.99))
+    lr = float(getattr(args, 'learning_rate', 6e-5))
+    clip_grad = float(getattr(args, 'clip_grad_norm', 3.0))
+    tau = float(getattr(args, 'soft_update_tau', 5e-3))
+    batch_size = int(getattr(args, 'batch_size', 64))
+    repeat_times = float(getattr(args, 'repeat_times', 1.0))
+    if_use_per = bool(getattr(args, 'if_use_per', False))
+    buffer_init_size = int(getattr(args, 'buffer_init_size', batch_size * 8))
+    explore_noise_std = float(getattr(args, 'explore_noise_std',
+                                      getattr(args, 'explore_noise', 0.05)))
+    # TD3 extras (reference defaults AgentTD3.py:22-24)
+    update_freq = int(getattr(args, 'update_freq', 2))
+    num_ensembles = int(getattr(args, 'num_ensembles', 8)) if td3 else 1
+    policy_noise_std = float(getattr(args, 'policy_noise_std', 0.10))
+    net_dims = tuple(net_dims)
+
+    optimizer = make_optimizer(lr, clip_grad)
+
+    def init(key):
+        k1, k2 = jax.random.split(key)
+        act = mlp_init(k1, (state_dim, *net_dims, action_dim), out_std=0.1)
+        cri = mlp_init(k2, (state_dim + action_dim, *net_dims, num_ensembles),
+                       out_std=0.5)
+        return DDPGState(act=act, act_target=jax.tree.map(jnp.copy, act),
+                         cri=cri, cri_target=jax.tree.map(jnp.copy, cri),
+                         act_opt=optimizer.init(act), cri_opt=optimizer.init(cri))
+
+    def actor(params, obs):
+        return jnp.tanh(mlp_apply(params, obs))
+
+    def actor_noisy(params, obs, key, std):
+        a = actor(params, obs) + std * jax.random.normal(key, obs.shape[:-1] + (action_dim,))
+        return jnp.clip(a, -1.0, 1.0)
+
+    def q_values(params, obs, action):
+        return mlp_apply(params, jnp.concatenate([obs, action], axis=-1))
+
+    def q_mean(params, obs, action):
+        return jnp.mean(q_values(params, obs, action), axis=-1)
+
+    def explore_action(s: DDPGState, obs, key):
+        return actor_noisy(s.act, obs, key, explore_noise_std), None
+
+    def greedy_action(s: DDPGState, obs):
+        return actor(s.act, obs)
+
+    def objectives(s: DDPGState, buf_state, key, update_t):
+        k_sample, k_noise = jax.random.split(key)
+        if if_use_per:
+            (state, action, reward, undone, unmask, next_state, is_weight,
+             is_ids) = buffer.sample_for_per(buf_state, k_sample, batch_size)
+        else:
+            state, action, reward, undone, unmask, next_state = buffer.sample(
+                buf_state, k_sample, batch_size)
+            is_weight, is_ids = None, None
+
+        if td3:
+            next_action = actor_noisy(s.act, next_state, k_noise, policy_noise_std)
+            next_q = jnp.min(q_values(s.cri_target, next_state, next_action), axis=-1)
+        else:
+            next_action = actor(s.act, next_state)
+            next_q = q_mean(s.cri_target, next_state, next_action)
+        q_label = reward + undone * gamma * next_q
+
+        def cri_loss_fn(cp):
+            qs = q_values(cp, state, action)
+            if td3:
+                td = jnp.mean(jnp.square(qs - q_label[:, None]), axis=-1) * unmask
+            else:
+                # reference AgentBase.py:206-207: q_value *= unmask, then
+                # criterion(q_value, q_label) * unmask
+                q = jnp.mean(qs, axis=-1) * unmask
+                td = jnp.square(q - q_label) * unmask
+            obj = jnp.mean(td * is_weight) if if_use_per else jnp.mean(td)
+            return obj, td
+
+        (obj_critic, td), g_cri = jax.value_and_grad(cri_loss_fn, has_aux=True)(s.cri)
+        cri, cri_opt = grad_step(optimizer, s.cri, s.cri_opt, g_cri)
+        cri_target = soft_update(s.cri_target, cri, tau)
+        if if_use_per:
+            buf_state = buffer.td_error_update_for_per(buf_state, is_ids, td)
+
+        if td3:
+            do_actor = (update_t % update_freq) == 0
+        else:
+            do_actor = buf_state.size >= buffer_init_size
+
+        def actor_step(operands):
+            act, act_opt, act_target = operands
+
+            def act_loss_fn(ap):
+                return -jnp.mean(q_mean(cri, state, actor(ap, state)))
+
+            obj_neg, g_act = jax.value_and_grad(act_loss_fn)(act)
+            act, act_opt = grad_step(optimizer, act, act_opt, g_act)
+            act_target = soft_update(act_target, act, tau)
+            return act, act_opt, act_target, -obj_neg, jnp.ones(())
+
+        def actor_skip(operands):
+            act, act_opt, act_target = operands
+            return act, act_opt, act_target, jnp.zeros(()), jnp.zeros(())
+
+        act, act_opt, act_target, obj_actor, a_upd = jax.lax.cond(
+            do_actor, actor_step, actor_skip, (s.act, s.act_opt, s.act_target))
+
+        new = DDPGState(act, act_target, cri, cri_target, act_opt, cri_opt)
+        return new, buf_state, (obj_critic, obj_actor, a_upd)
+
+    update = make_offpolicy_update(batch_size, repeat_times, objectives)
+
+    return AgentDef(name='AgentTD3' if td3 else 'AgentDDPG',
+                    if_off_policy=True, if_discrete=False,
+                    init=init, explore_action=explore_action,
+                    greedy_action=greedy_action, env_action=lambda a: a,
+                    update=update)
+
+
+make_td3 = partial(_make, td3=True)
+make_ddpg = partial(_make, td3=False)
+
+
+class AgentTD3:
+    make = staticmethod(make_td3)
+
+
+class AgentDDPG:
+    make = staticmethod(make_ddpg)

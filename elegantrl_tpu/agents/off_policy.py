@@ -1,0 +1,58 @@
+"""Shared off-policy update loop.
+
+The reference's ``AgentBase.update_net`` runs
+``update_times = cur_size * repeat_times / batch_size`` sequential minibatch
+updates per round (AgentBase.py:172-189).  ``cur_size`` grows during
+training, so the trip count is *dynamic*: here it is a traced
+``lax.fori_loop`` bound — no recompilation as the buffer fills, and the whole
+loop stays on device.
+
+Each agent supplies ``objectives_fn(agent_state, buf_state, key, update_t)
+-> (agent_state, buf_state, (obj_critic, obj_actor, actor_updated))`` — one
+critic+actor step (reference ``update_objectives``).  ``actor_updated`` is
+1.0/0.0 so delayed/gated actor updates average like the reference's
+``np.nanmean`` over non-NaN entries.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def make_offpolicy_update(batch_size: int, repeat_times: float,
+                          objectives_fn: Callable) -> Callable:
+    def update(agent_state, buf_state, key):
+        update_times = jnp.maximum(
+            (buf_state.size.astype(jnp.float32) * repeat_times
+             / batch_size).astype(jnp.int32), 1)
+
+        def body(i, carry):
+            agent_state, buf_state, sums = carry
+            k = jax.random.fold_in(key, i)
+            agent_state, buf_state, (obj_c, obj_a, a_upd) = objectives_fn(
+                agent_state, buf_state, k, i)
+            sums = sums + jnp.stack([obj_c, obj_a * a_upd, a_upd])
+            return agent_state, buf_state, sums
+
+        agent_state, buf_state, sums = jax.lax.fori_loop(
+            0, update_times, body, (agent_state, buf_state, jnp.zeros(3)))
+        n = update_times.astype(jnp.float32)
+        metrics = {'obj_critic': sums[0] / n,
+                   'obj_actor': sums[1] / jnp.maximum(sums[2], 1.0)}
+        return agent_state, buf_state, metrics
+
+    return update
+
+
+def epsilon_greedy(key: jax.Array, q_action: jax.Array, action_dim: int,
+                   explore_rate: float) -> jax.Array:
+    """Per-env epsilon-greedy (reference flips one coin for the whole batch,
+    QNetBase.get_action AgentDQN.py:182-187; per-env is the same marginal
+    exploration rate with lower variance)."""
+    k1, k2 = jax.random.split(key)
+    rand_actions = jax.random.randint(k1, q_action.shape, 0, action_dim)
+    explore = jax.random.uniform(k2, q_action.shape) < explore_rate
+    return jnp.where(explore, rand_actions, q_action).astype(jnp.int32)

@@ -1,0 +1,234 @@
+"""PPO / A2C (+ discrete variants), TPU-native.
+
+Behavioral parity targets (reference ``elegantrl/agents/AgentPPO.py``):
+
+- actor: MLP -> Normal(mean, exp(action_std_log)) with a learned global
+  ``action_std_log`` parameter; env action is ``tanh(sample)`` while the raw
+  sample is stored for the ratio (AgentPPO.py:348-390);
+- state normalization buffers ``state_avg/state_std`` shared actor/critic,
+  updated with tau ``state_value_tau`` (AgentPPO.py:360-361, 234-249);
+- GAE with V-trace-style or plain recursion + truncation bootstrapping
+  (AgentPPO.py:207-232), advantage normalization with strided std (:149);
+- single-sided clipped surrogate
+  ``adv * ratio * where(adv>0, 1-clip, 1+clip)`` (:199), entropy bonus
+  ``lambda_entropy``, minibatches sampled uniformly over flattened (t, env)
+  ids (:176-187), ``update_times = horizon * repeat_times / batch_size``;
+- A2C overrides the objective with the unclipped policy gradient and samples
+  whole time-slices (AgentPPO.py:292-311).
+
+The whole ``update`` is one jitted program: chunked value re-evaluation, the
+advantage scan, and a ``lax.scan`` over SGD minibatches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..envs.base import EnvSpec
+from ..ops import dists, gae
+from ..ops.nets import mlp_apply, mlp_init
+from .base import (AgentDef, Rollout, chunked_map, grad_step, make_optimizer,
+                   sample_flat_ids)
+
+
+class PPOState(NamedTuple):
+    act: dict            # {'mlp': ..., 'std_log': (1, A)}  (std_log absent when discrete)
+    cri: list            # critic MLP params
+    act_opt: tuple
+    cri_opt: tuple
+    norm_avg: jax.Array  # (S,) state normalization (shared act/cri)
+    norm_std: jax.Array  # (S,)
+
+
+def _norm_state(obs, avg, std):
+    return (obs - avg) / (std + 1e-4)
+
+
+def make_ppo(net_dims, state_dim: int, action_dim: int, args,
+             buffer=None, discrete: bool = False, a2c: bool = False) -> AgentDef:
+    """Factory. ``args`` is a Config-like object read via getattr (the
+    reference reads hypers the same way, AgentPPO.py:27-32)."""
+    gamma = float(getattr(args, 'gamma', 0.99))
+    lr = float(getattr(args, 'learning_rate', 6e-5))
+    clip_grad = float(getattr(args, 'clip_grad_norm', 3.0))
+    ratio_clip = float(getattr(args, 'ratio_clip', 0.25))
+    lambda_gae_adv = float(getattr(args, 'lambda_gae_adv', 0.95))
+    lambda_entropy = float(getattr(args, 'lambda_entropy', 0.01 if discrete else 0.001))
+    if_use_vtrace = bool(getattr(args, 'if_use_vtrace', getattr(args, 'if_use_v_trace', True)))
+    state_value_tau = float(getattr(args, 'state_value_tau', 0.0))
+    batch_size = int(getattr(args, 'batch_size', 128))
+    repeat_times = float(getattr(args, 'repeat_times', 8.0))
+    compute_dtype = jnp.bfloat16 if str(getattr(args, 'compute_dtype', 'float32')) == 'bfloat16' else None
+
+    optimizer = make_optimizer(lr, clip_grad)
+    net_dims = tuple(net_dims)
+
+    def init(key):
+        k1, k2 = jax.random.split(key)
+        act_mlp = mlp_init(k1, (state_dim, *net_dims, action_dim), out_std=0.1)
+        act = {'mlp': act_mlp}
+        if not discrete:
+            act['std_log'] = jnp.zeros((1, action_dim), jnp.float32)
+        cri = mlp_init(k2, (state_dim, *net_dims, 1), out_std=0.5)
+        return PPOState(
+            act=act, cri=cri,
+            act_opt=optimizer.init(act), cri_opt=optimizer.init(cri),
+            norm_avg=jnp.zeros(state_dim), norm_std=jnp.ones(state_dim))
+
+    def actor_forward(act, norm_avg, norm_std, obs):
+        x = _norm_state(obs, norm_avg, norm_std)
+        return mlp_apply(act['mlp'], x, dtype=compute_dtype)
+
+    def critic_value(cri, norm_avg, norm_std, obs):
+        x = _norm_state(obs, norm_avg, norm_std)
+        return mlp_apply(cri, x, dtype=compute_dtype)[..., 0]
+
+    def explore_action(s: PPOState, obs, key):
+        out = actor_forward(s.act, s.norm_avg, s.norm_std, obs)
+        if discrete:
+            action = dists.categorical_sample(key, out)
+            logprob = dists.categorical_logprob(out, action)
+            return action.astype(jnp.int32), logprob
+        std = jnp.exp(s.act['std_log'])
+        action = dists.normal_sample(key, out, jnp.broadcast_to(std, out.shape))
+        logprob = jnp.sum(dists.normal_logprob(action, out, std), axis=-1)
+        return action, logprob
+
+    def greedy_action(s: PPOState, obs):
+        out = actor_forward(s.act, s.norm_avg, s.norm_std, obs)
+        if discrete:
+            return jnp.argmax(out, axis=-1).astype(jnp.int32)
+        return jnp.tanh(out)
+
+    def env_action(action):
+        return action if discrete else jnp.tanh(action)
+
+    def logprob_entropy(act, norm_avg, norm_std, obs, action):
+        out = mlp_apply(act['mlp'], _norm_state(obs, norm_avg, norm_std),
+                        dtype=compute_dtype)
+        if discrete:
+            return (dists.categorical_logprob(out, action),
+                    dists.categorical_entropy(out))
+        std = jnp.exp(act['std_log'])
+        logprob = jnp.sum(dists.normal_logprob(action, out, std), axis=-1)
+        entropy = jnp.sum(dists.normal_entropy(jnp.broadcast_to(std, out.shape)), axis=-1)
+        return logprob, entropy
+
+    def update(s: PPOState, rollout: Rollout, last_obs, key):
+        horizon_len, num_envs = rollout.rewards.shape
+        states, actions, logprobs = rollout.states, rollout.actions, rollout.logprobs
+        rewards, undones, unmasks = rollout.rewards, rollout.undones, rollout.unmasks
+
+        '''advantages (no-grad), reference AgentPPO.py:138-151'''
+        value_fn = partial(critic_value, s.cri, s.norm_avg, s.norm_std)
+        values = chunked_map(value_fn, states)              # (H, N)
+        rewards_b, undones_b = gae.apply_truncation_bootstrap(
+            rewards, undones, unmasks, values)
+        next_value = value_fn(last_obs)                      # (N,)
+        if if_use_vtrace:
+            advantages = gae.gae_vtrace(rewards_b, undones_b, values,
+                                        next_value, gamma, lambda_gae_adv)
+        else:
+            advantages = gae.gae_plain(rewards_b, undones_b, values,
+                                       gamma, lambda_gae_adv)
+        reward_sums = advantages + values
+        advantages = gae.normalize_advantages(advantages)
+
+        '''minibatch SGD scan, reference AgentPPO.py:159-205'''
+        update_times = max(1, int(horizon_len * repeat_times / batch_size))
+
+        def minibatch(carry, key_t):
+            act, cri, act_opt, cri_opt = carry
+            if a2c:  # A2C samples whole time-slices (AgentPPO.py:296-302)
+                ids0 = jax.random.randint(key_t, (batch_size,), 0, horizon_len)
+                state = states[ids0]
+                action = actions[ids0]
+                unmask = unmasks[ids0]
+                logprob = None
+                advantage = advantages[ids0]
+                reward_sum = reward_sums[ids0]
+            else:
+                ids0, ids1 = sample_flat_ids(key_t, horizon_len, num_envs, batch_size)
+                state = states[ids0, ids1]
+                action = actions[ids0, ids1]
+                unmask = unmasks[ids0, ids1]
+                logprob = logprobs[ids0, ids1]
+                advantage = advantages[ids0, ids1]
+                reward_sum = reward_sums[ids0, ids1]
+
+            def cri_loss_fn(cp):
+                v = critic_value(cp, s.norm_avg, s.norm_std, state)
+                return jnp.mean(jnp.square(v - reward_sum) * unmask)
+
+            obj_critic, g_cri = jax.value_and_grad(cri_loss_fn)(cri)
+            cri, cri_opt = grad_step(optimizer, cri, cri_opt, g_cri)
+
+            def act_loss_fn(ap):
+                new_logprob, entropy = logprob_entropy(
+                    ap, s.norm_avg, s.norm_std, state, action)
+                if a2c:  # unclipped policy gradient (AgentPPO.py:308-310)
+                    obj_surrogate = jnp.mean(advantage * new_logprob)
+                    obj_entropy = jnp.mean(entropy)
+                    return -obj_surrogate, (obj_surrogate, obj_entropy)
+                ratio = jnp.exp(new_logprob - logprob)
+                surrogate = advantage * ratio * jnp.where(
+                    advantage > 0, 1.0 - ratio_clip, 1.0 + ratio_clip)
+                obj_surrogate = jnp.mean(surrogate * unmask)
+                obj_entropy = jnp.mean(entropy * unmask)
+                return -(obj_surrogate - obj_entropy * lambda_entropy), \
+                    (obj_surrogate, obj_entropy)
+
+            (_, (obj_surrogate, obj_entropy)), g_act = \
+                jax.value_and_grad(act_loss_fn, has_aux=True)(act)
+            act, act_opt = grad_step(optimizer, act, act_opt, g_act)
+
+            return (act, cri, act_opt, cri_opt), \
+                (obj_critic, obj_surrogate, obj_entropy)
+
+        keys = jax.random.split(key, update_times)
+        (act, cri, act_opt, cri_opt), (obj_c, obj_a, obj_e) = jax.lax.scan(
+            minibatch, (s.act, s.cri, s.act_opt, s.cri_opt), keys)
+
+        '''running state normalization (AgentPPO.py:234-249; active iff tau>0)'''
+        norm_avg, norm_std = s.norm_avg, s.norm_std
+        if state_value_tau > 0:
+            flat = states.reshape(-1, states.shape[-1])
+            tau = state_value_tau
+            norm_avg = norm_avg * (1 - tau) + jnp.mean(flat, axis=0) * tau
+            norm_std = jnp.maximum(
+                norm_std * (1 - tau) + jnp.std(flat, axis=0) * tau, 1e-4)
+
+        metrics = {'obj_critic': jnp.mean(obj_c),
+                   'obj_actor': jnp.mean(obj_a),
+                   'obj_entropy': jnp.mean(obj_e)}
+        new_state = PPOState(act, cri, act_opt, cri_opt, norm_avg, norm_std)
+        return new_state, metrics
+
+    name = ('AgentDiscreteA2C' if (discrete and a2c) else
+            'AgentDiscretePPO' if discrete else
+            'AgentA2C' if a2c else 'AgentPPO')
+    return AgentDef(name=name, if_off_policy=False, if_discrete=discrete,
+                    init=init, explore_action=explore_action,
+                    greedy_action=greedy_action, env_action=env_action,
+                    update=update)
+
+
+# Class-style markers for Config(agent_class=...) parity with the reference.
+class AgentPPO:
+    make = staticmethod(partial(make_ppo, discrete=False, a2c=False))
+
+
+class AgentA2C:
+    make = staticmethod(partial(make_ppo, discrete=False, a2c=True))
+
+
+class AgentDiscretePPO:
+    make = staticmethod(partial(make_ppo, discrete=True, a2c=False))
+
+
+class AgentDiscreteA2C:
+    make = staticmethod(partial(make_ppo, discrete=True, a2c=True))

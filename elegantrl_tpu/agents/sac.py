@@ -1,0 +1,224 @@
+"""SAC and ModSAC (TPU-native).
+
+Behavioral parity targets (reference ``elegantrl/agents/AgentSAC.py``):
+
+- SAC: shared-trunk actor emitting (mean, log_std), log_std clamped (-16, 2),
+  tanh-squashed sample; the reference's simplified logprob (evaluated at the
+  mean, corrected with ``log(1.000001 - tanh(a)^2)``, :187-198);
+- ModSAC: split decoders for mean/log_std, clamp (-20, 2), softplus-form
+  tanh correction (:225-241), actor target network, and the
+  ``reliable_lambda`` two-time-scale actor gating (:149-158) — in this
+  snapshot ``critic_value`` stays 1.0 so the gate ratio is the constant
+  ``1 / (2 - e^-1)``;
+- critic: ensemble of Q heads over a shared (s,a) linear encoder
+  (``CriticEnsemble``, :244-259), default 4 heads (SAC) / 8 (ModSAC);
+  TD target uses the head ``min`` (:53);
+- auto-alpha: trainable ``alpha_log`` (init -1), loss
+  ``alpha_log * (target_entropy - logprob)``, clamped to (-16, 2) after each
+  step; ``target_entropy = +log(action_dim)`` for SAC (:31) and
+  ``-log(action_dim)`` for ModSAC (:103) — both reference quirks kept.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import dists
+from ..ops.nets import ensemble_init, mlp_apply, mlp_init, soft_update
+from .base import AgentDef, grad_step, make_optimizer
+from .off_policy import make_offpolicy_update
+
+
+class SACState(NamedTuple):
+    act: dict
+    act_target: Optional[dict]   # ModSAC only
+    cri: dict
+    cri_target: dict
+    act_opt: tuple
+    cri_opt: tuple
+    alpha_log: jax.Array         # ()
+    alpha_opt: tuple
+    update_a: jax.Array          # () int32, ModSAC actor-update counter
+
+
+def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
+             modsac: bool = False) -> AgentDef:
+    gamma = float(getattr(args, 'gamma', 0.99))
+    lr = float(getattr(args, 'learning_rate', 6e-5))
+    clip_grad = float(getattr(args, 'clip_grad_norm', 3.0))
+    tau = float(getattr(args, 'soft_update_tau', 5e-3))
+    batch_size = int(getattr(args, 'batch_size', 64))
+    repeat_times = float(getattr(args, 'repeat_times', 1.0))
+    if_use_per = bool(getattr(args, 'if_use_per', False))
+    num_ensembles = int(getattr(args, 'num_ensembles', 8 if modsac else 4))
+    if modsac:
+        target_entropy = float(getattr(args, 'target_entropy', -jnp.log(action_dim)))
+    else:
+        target_entropy = float(jnp.log(action_dim))
+    std_clip = (-20.0, 2.0) if modsac else (-16.0, 2.0)
+    net_dims = tuple(net_dims)
+
+    optimizer = make_optimizer(lr, clip_grad)
+    alpha_optimizer = make_optimizer(lr, clip_grad)
+
+    def init(key):
+        keys = jax.random.split(key, 5)
+        if modsac:
+            act = {'enc': mlp_init(keys[0], (state_dim, *net_dims)),
+                   'avg': mlp_init(keys[1], (net_dims[-1], action_dim), out_std=0.1),
+                   'std': mlp_init(keys[2], (net_dims[-1], action_dim), out_std=0.1)}
+        else:
+            act = {'enc': mlp_init(keys[0], (state_dim, *net_dims)),
+                   'head': mlp_init(keys[1], (net_dims[-1], action_dim * 2), out_std=0.1)}
+        cri = {
+            'enc': mlp_init(keys[3], (state_dim + action_dim, net_dims[0])),
+            'heads': ensemble_init(
+                keys[4], num_ensembles,
+                lambda k: mlp_init(k, (*net_dims, 1), out_std=0.5)),
+        }
+        return SACState(
+            act=act,
+            act_target=jax.tree.map(jnp.copy, act) if modsac else None,
+            cri=cri, cri_target=jax.tree.map(jnp.copy, cri),
+            act_opt=optimizer.init(act), cri_opt=optimizer.init(cri),
+            alpha_log=jnp.asarray(-1.0),
+            alpha_opt=alpha_optimizer.init(jnp.asarray(-1.0)),
+            update_a=jnp.zeros((), jnp.int32))
+
+    def actor_dist(act, obs):
+        """Returns (mean, log_std)."""
+        if modsac:
+            enc = mlp_apply(act['enc'], obs)
+            mean = mlp_apply(act['avg'], enc)
+            log_std = jnp.clip(mlp_apply(act['std'], enc), *std_clip)
+        else:
+            # reference ActorSAC: trailing GELU on the trunk (if_raw_out=False)
+            enc = jax.nn.gelu(mlp_apply(act['enc'], obs))
+            out = mlp_apply(act['head'], enc)
+            mean, log_std = jnp.split(out, 2, axis=-1)
+            log_std = jnp.clip(log_std, *std_clip)
+        return mean, log_std
+
+    def get_action(act, obs, key):
+        mean, log_std = actor_dist(act, obs)
+        noise = jax.random.normal(key, mean.shape)
+        return jnp.tanh(mean + jnp.exp(log_std) * noise)
+
+    def get_action_logprob(act, obs, key):
+        mean, log_std = actor_dist(act, obs)
+        noise = jax.random.normal(key, mean.shape)
+        pre_tanh = mean + jnp.exp(log_std) * noise
+        if modsac:
+            logprob = dists.tanh_normal_logprob(log_std, noise, pre_tanh)
+        else:
+            logprob = dists.tanh_normal_logprob_simple(mean, jnp.exp(log_std), pre_tanh)
+        return jnp.tanh(pre_tanh), logprob
+
+    def q_values(cri, obs, action):
+        """(batch, num_ensembles) — linear encoder + vmapped head MLPs."""
+        sa = jnp.concatenate([obs, action], axis=-1)
+        enc = mlp_apply(cri['enc'], sa)
+        heads = jax.vmap(lambda hp: mlp_apply(hp, enc)[..., 0])(cri['heads'])
+        return jnp.moveaxis(heads, 0, -1)
+
+    def explore_action(s: SACState, obs, key):
+        return get_action(s.act, obs, key), None
+
+    def greedy_action(s: SACState, obs):
+        mean, _ = actor_dist(s.act, obs)
+        return jnp.tanh(mean)
+
+    def objectives(s: SACState, buf_state, key, update_t):
+        k_sample, k_next, k_pg = jax.random.split(key, 3)
+        if if_use_per:
+            (state, action, reward, undone, unmask, next_state, is_weight,
+             is_ids) = buffer.sample_for_per(buf_state, k_sample, batch_size)
+        else:
+            state, action, reward, undone, unmask, next_state = buffer.sample(
+                buf_state, k_sample, batch_size)
+            is_weight, is_ids = None, None
+
+        next_action, next_logprob = get_action_logprob(s.act, next_state, k_next)
+        next_q = jnp.min(q_values(s.cri_target, next_state, next_action), axis=-1)
+        alpha = jnp.exp(s.alpha_log)
+        q_label = reward + undone * gamma * (next_q - next_logprob * alpha)
+
+        def cri_loss_fn(cp):
+            qs = q_values(cp, state, action)
+            td = jnp.mean(jnp.square(qs - q_label[:, None]), axis=-1) * unmask
+            obj = jnp.mean(td * is_weight) if if_use_per else jnp.mean(td)
+            return obj, td
+
+        (obj_critic, td), g_cri = jax.value_and_grad(cri_loss_fn, has_aux=True)(s.cri)
+        cri, cri_opt = grad_step(optimizer, s.cri, s.cri_opt, g_cri)
+        cri_target = soft_update(s.cri_target, cri, tau)
+        if if_use_per:
+            buf_state = buffer.td_error_update_for_per(buf_state, is_ids, td)
+
+        '''alpha objective (reference :72-80), with logprob at current actor'''
+        _, logprob_now = get_action_logprob(s.act, state, k_pg)
+
+        def alpha_loss_fn(alpha_log):
+            return jnp.mean(alpha_log * (target_entropy - logprob_now))
+
+        g_alpha = jax.grad(alpha_loss_fn)(s.alpha_log)
+        alpha_log, alpha_opt = grad_step(alpha_optimizer, s.alpha_log,
+                                         s.alpha_opt, g_alpha)
+        alpha_log = jnp.clip(alpha_log, -16.0, 2.0)
+        alpha = jax.lax.stop_gradient(jnp.exp(alpha_log))
+
+        '''actor objective, gated for ModSAC (reference :149-158)'''
+        if modsac:
+            reliable_lambda = jnp.exp(-1.0)  # critic_value stays 1.0 in snapshot
+            update_a = jnp.where(update_t == 0, 0, s.update_a)
+            do_actor = (update_a.astype(jnp.float32) / (update_t + 1.0)
+                        ) < (1.0 / (2.0 - reliable_lambda))
+            update_a = update_a + do_actor.astype(jnp.int32)
+        else:
+            do_actor = jnp.ones((), jnp.bool_)
+            update_a = s.update_a
+
+        def actor_step(operands):
+            act, act_opt, act_target = operands
+
+            def act_loss_fn(ap):
+                a_pg, lp = get_action_logprob(ap, state, k_pg)
+                q_pg = jnp.mean(q_values(cri_target, state, a_pg))
+                return -jnp.mean(q_pg - lp * alpha)
+
+            obj_neg, g_act = jax.value_and_grad(act_loss_fn)(act)
+            act, act_opt = grad_step(optimizer, act, act_opt, g_act)
+            if modsac:
+                act_target = soft_update(act_target, act, tau)
+            return act, act_opt, act_target, -obj_neg, jnp.ones(())
+
+        def actor_skip(operands):
+            act, act_opt, act_target = operands
+            return act, act_opt, act_target, jnp.zeros(()), jnp.zeros(())
+
+        act, act_opt, act_target, obj_actor, a_upd = jax.lax.cond(
+            do_actor, actor_step, actor_skip, (s.act, s.act_opt, s.act_target))
+
+        new = SACState(act, act_target, cri, cri_target, act_opt, cri_opt,
+                       alpha_log, alpha_opt, update_a)
+        return new, buf_state, (obj_critic, obj_actor, a_upd)
+
+    update = make_offpolicy_update(batch_size, repeat_times, objectives)
+
+    return AgentDef(name='AgentModSAC' if modsac else 'AgentSAC',
+                    if_off_policy=True, if_discrete=False,
+                    init=init, explore_action=explore_action,
+                    greedy_action=greedy_action, env_action=lambda a: a,
+                    update=update)
+
+
+class AgentSAC:
+    make = staticmethod(partial(make_sac, modsac=False))
+
+
+class AgentModSAC:
+    make = staticmethod(partial(make_sac, modsac=True))

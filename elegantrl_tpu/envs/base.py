@@ -55,6 +55,10 @@ class EnvDef(NamedTuple):
     init: Callable[[PRNGKey], EnvState]
     obs: Callable[[EnvState], jax.Array]
     step: Callable[[EnvState, jax.Array, PRNGKey], Tuple[EnvState, jax.Array, jax.Array, jax.Array]]
+    # optional: episode-return override read at episode end (the reference
+    # evaluator prefers ``env.cumulative_returns`` when present,
+    # evaluator.py:195-196) — e.g. the stock env's cumulative return
+    episode_return: Any = None
 
 
 def vec_reset(env: EnvDef, key: PRNGKey, num_envs: int) -> Tuple[EnvState, jax.Array]:

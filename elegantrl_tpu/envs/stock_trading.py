@@ -165,7 +165,8 @@ def make_stock_trading(initial_amount: float = 1e6, max_stock: float = 1e2,
 
     spec = EnvSpec(env_name='StockTradingEnv-v2', num_envs=1, max_step=max_step,
                    state_dim=state_dim, action_dim=num_shares, if_discrete=False)
-    return EnvDef(spec=spec, init=init, obs=obs, step=step)
+    return EnvDef(spec=spec, init=init, obs=obs, step=step,
+                  episode_return=lambda s: s.cumulative_returns)
 
 
 class StockTradingVecEnv(VecEnv):

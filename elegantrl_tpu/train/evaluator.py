@@ -1,0 +1,178 @@
+"""Evaluator: on-device greedy episode evaluation + host-side recording.
+
+Capability match for the reference ``Evaluator``
+(``elegantrl/train/evaluator.py:12-302``): every ``eval_per_step`` training
+steps it runs ``eval_times`` greedy episodes, prints the
+``ID Step Time | avgR stdR avgS stdS | expR objC objA`` table, appends to
+``recorder.npy``, saves best/periodic actor checkpoints, and optionally
+renders ``LearningCurve.jpg``.
+
+TPU-native redesign: the ``eval_times`` episodes run *in parallel* as one
+jitted scan (episodes are independent env instances, frozen once done)
+instead of the reference's sequential Python episode loops
+(evaluator.py:161-238).  Envs exposing ``episode_return`` (e.g. stock
+trading's ``cumulative_returns``) override the reward sum, mirroring
+evaluator.py:195-196.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..envs.base import EnvDef
+from ..utils.checkpoint import save_pytree
+
+
+def make_eval_fn(env: EnvDef, greedy_action: Callable, num_episodes: int,
+                 max_step: int) -> Callable:
+    """Build a jitted fn (agent_state, key) -> (returns, steps) running
+    ``num_episodes`` parallel greedy episodes to their first done."""
+
+    def eval_fn(agent_state, key):
+        k_init, k_run = jax.random.split(key)
+        init_keys = jax.random.split(k_init, num_episodes)
+        env_state = jax.vmap(env.init)(init_keys)
+        obs = jax.vmap(env.obs)(env_state)
+
+        def body(carry, key_t):
+            env_state, obs, done, ret, steps = carry
+            action = greedy_action(agent_state, obs)
+            step_keys = jax.random.split(key_t, num_episodes)
+            new_state, reward, terminal, truncate = jax.vmap(env.step)(
+                env_state, action, step_keys)
+            alive = jnp.logical_not(done)
+            ret = ret + reward * alive
+            steps = steps + alive.astype(jnp.int32)
+            done = done | terminal | truncate
+            # freeze finished episodes so their state stays valid
+            env_state = jax.tree.map(
+                lambda new, old: jnp.where(
+                    done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new),
+                new_state, env_state)
+            obs = jax.vmap(env.obs)(env_state)
+            return (env_state, obs, done, ret, steps), None
+
+        done0 = jnp.zeros(num_episodes, jnp.bool_)
+        ret0 = jnp.zeros(num_episodes, jnp.float32)
+        steps0 = jnp.zeros(num_episodes, jnp.int32)
+        keys = jax.random.split(k_run, max_step)
+        (env_state, _, done, ret, steps), _ = jax.lax.scan(
+            body, (env_state, obs, done0, ret0, steps0), keys)
+
+        if env.episode_return is not None:
+            ret = jnp.where(done, jax.vmap(env.episode_return)(env_state), ret)
+        return ret, steps
+
+    return jax.jit(eval_fn)
+
+
+class Evaluator:
+    def __init__(self, cwd: str, env: EnvDef, greedy_action: Callable, args):
+        self.cwd = cwd
+        self.agent_id = int(getattr(args, 'gpu_id', 0))
+        self.total_step = 0
+        self.start_time = time.time()
+        self.eval_times = int(getattr(args, 'eval_times', 3))
+        self.eval_per_step = int(getattr(args, 'eval_per_step', 2e4))
+        self.eval_step_counter = -self.eval_per_step
+        self.save_gap = int(getattr(args, 'save_gap', 8))
+        self.save_counter = 0
+        self.if_keep_save = bool(getattr(args, 'if_keep_save', True))
+        self.if_over_write = bool(getattr(args, 'if_over_write', False))
+        self.recorder_path = os.path.join(cwd, 'recorder.npy')
+        self.recorder = []
+        self.recorder_step = int(getattr(args, 'eval_record_step', 0))
+        self.max_r = -np.inf
+        max_step = int(getattr(args, 'max_step', env.spec.max_step))
+        self._eval_fn = make_eval_fn(env, greedy_action, self.eval_times, max_step)
+        self._key = jax.random.key(int(getattr(args, 'random_seed', 0) or 0) + 1943)
+
+        print("| Evaluator:"
+              "\n| `step`: Number of samples (env.step() calls)."
+              "\n| `time`: Seconds since start of training."
+              "\n| `avgR/stdR`: mean/std of episodic cumulative returns."
+              "\n| `avgS/stdS`: mean/std of episode lengths."
+              "\n| `objC`: critic objective.  `objA`: actor objective."
+              f"\n{'#' * 80}\n"
+              f"{'ID':<3}{'Step':>8}{'Time':>8} |"
+              f"{'avgR':>8}{'stdR':>7}{'avgS':>7}{'stdS':>6} |"
+              f"{'expR':>8}{'objC':>7}{'objA':>7}", flush=True)
+
+    def evaluate_and_save(self, agent_state: Any, steps: int, exp_r: float,
+                          logging_tuple: tuple) -> None:
+        self.total_step += steps
+        if self.total_step < self.recorder_step:
+            return
+        if self.total_step < self.eval_step_counter + self.eval_per_step:
+            return
+        self.eval_step_counter = self.total_step
+
+        self._key, sub = jax.random.split(self._key)
+        returns, ep_steps = self._eval_fn(agent_state, sub)
+        returns = np.asarray(returns)
+        ep_steps = np.asarray(ep_steps)
+        avg_r, std_r = float(returns.mean()), float(returns.std())
+        avg_s, std_s = float(ep_steps.mean()), float(ep_steps.std())
+        used_time = int(time.time() - self.start_time)
+        values = [v for v in logging_tuple if isinstance(v, (int, float))]
+
+        self.recorder.append((self.total_step, avg_r, std_r, exp_r, *values))
+
+        prev_max_r = self.max_r
+        self.max_r = max(self.max_r, avg_r)
+        print(f"{self.agent_id:<3}{self.total_step:8.2e}{used_time:8.0f} |"
+              f"{avg_r:8.2f}{std_r:7.1f}{avg_s:7.0f}{std_s:6.0f} |"
+              f"{exp_r:8.2f}{''.join(f'{v:7.2f}' for v in values)}", flush=True)
+
+        if not self.if_keep_save:
+            return
+        self.save_counter += 1
+        actor_path = None
+        if avg_r > prev_max_r:
+            actor_path = (os.path.join(self.cwd, 'actor.npz') if self.if_over_write
+                          else os.path.join(self.cwd,
+                                            f'actor__{self.total_step:012}_{self.max_r:09.3f}.npz'))
+        elif self.save_counter >= self.save_gap:
+            self.save_counter = 0
+            actor_path = (os.path.join(self.cwd, 'actor.npz') if self.if_over_write
+                          else os.path.join(self.cwd, f'actor__{self.total_step:012}.npz'))
+        if actor_path:
+            save_pytree(actor_path, agent_state)
+            self.save_or_load_recorder(if_save=True)
+
+    def save_or_load_recorder(self, if_save: bool) -> None:
+        if if_save:
+            np.save(self.recorder_path, np.array(self.recorder, dtype=np.float64))
+        elif os.path.exists(self.recorder_path):
+            rec = np.load(self.recorder_path)
+            self.recorder = [tuple(r) for r in rec]
+            if self.recorder:
+                self.total_step = int(self.recorder[-1][0])
+
+    def save_training_curve_jpg(self) -> None:
+        """Render LearningCurve.jpg (reference evaluator.py:241-302)."""
+        if not self.recorder:
+            return
+        try:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+        except ImportError:  # pragma: no cover
+            return
+        rec = np.array(self.recorder, dtype=np.float64)
+        fig, ax = plt.subplots(figsize=(8, 5))
+        ax.plot(rec[:, 0], rec[:, 1], color='tab:blue', label='avgR')
+        ax.fill_between(rec[:, 0], rec[:, 1] - rec[:, 2], rec[:, 1] + rec[:, 2],
+                        color='tab:blue', alpha=0.25)
+        ax.set_xlabel('total step')
+        ax.set_ylabel('episode return')
+        ax.grid(alpha=0.4)
+        ax.legend()
+        fig.savefig(os.path.join(self.cwd, 'LearningCurve.jpg'), dpi=120)
+        plt.close(fig)

@@ -1,0 +1,170 @@
+"""Device-resident replay ring buffer as a pytree.
+
+Reproduces the reference ``ReplayBuffer`` contract
+(``elegantrl/train/replay_buffer.py:11-223``):
+
+- layout ``(max_size, num_seqs, dim)`` — one ring per env sequence;
+- ring-pointer insert with wraparound (reference splits the write in two,
+  :87-105; here a modular scatter does both cases branch-free);
+- uniform sampling over flattened (t, seq) ids from ``cur_size - 1`` with
+  ``next_state = states[ids0 + 1]`` (:120-134) — including the reference's
+  seam artifact at the ring pointer, kept for parity;
+- optional PER via a *batched* segment tree in arrays
+  (:class:`elegantrl_tpu.ops.per.SegmentTree`) replacing the reference's
+  per-seq Python ``SumTree`` pointer loops (:226-299).
+
+Everything is functional: ``update``/``sample`` take and return a
+:class:`BufferState`, so the whole off-policy round (insert + sample + SGD)
+compiles into one XLA program and the multi-GB buffer is donated in place.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BufferState(NamedTuple):
+    states: jax.Array    # (M, N, S)
+    actions: jax.Array   # (M, N, A) float | (M, N) int32 when discrete
+    rewards: jax.Array   # (M, N)
+    undones: jax.Array   # (M, N)
+    unmasks: jax.Array   # (M, N)
+    ptr: jax.Array       # () int32
+    size: jax.Array      # () int32, == cur_size
+    per_tree: Optional[jax.Array] = None  # (N, 2*cap) segment tree, PER only
+
+
+class ReplayBuffer:
+    """Static buffer description + functional ops."""
+
+    def __init__(self, max_size: int, state_dim: int, action_dim: int,
+                 num_seqs: int = 1, if_use_per: bool = False,
+                 if_discrete: bool = False, args=None):
+        self.max_size = int(max_size)
+        self.state_dim = int(state_dim)
+        self.action_dim = int(action_dim)
+        self.num_seqs = int(num_seqs)
+        self.if_discrete = bool(if_discrete)
+        self.if_use_per = bool(if_use_per)
+        self.per_alpha = float(getattr(args, 'per_alpha', 0.6))
+        self.per_beta = float(getattr(args, 'per_beta', 0.4))
+        if if_use_per:
+            from ..ops.per import SegmentTree
+            self.tree = SegmentTree(self.max_size, self.num_seqs)
+        else:
+            self.tree = None
+
+    def init(self) -> BufferState:
+        M, N, S = self.max_size, self.num_seqs, self.state_dim
+        actions = (jnp.zeros((M, N), jnp.int32) if self.if_discrete
+                   else jnp.zeros((M, N, self.action_dim), jnp.float32))
+        return BufferState(
+            states=jnp.zeros((M, N, S), jnp.float32),
+            actions=actions,
+            rewards=jnp.zeros((M, N), jnp.float32),
+            undones=jnp.zeros((M, N), jnp.float32),
+            unmasks=jnp.zeros((M, N), jnp.float32),
+            ptr=jnp.zeros((), jnp.int32),
+            size=jnp.zeros((), jnp.int32),
+            per_tree=self.tree.init() if self.tree else None,
+        )
+
+    def update(self, buf: BufferState, items: Tuple[jax.Array, ...]) -> BufferState:
+        """Insert a rollout ``(states, actions, rewards, undones, unmasks)``
+        of shape (H, N, ...) at the ring pointer."""
+        states, actions, rewards, undones, unmasks = items
+        h = states.shape[0]
+        idx = (buf.ptr + jnp.arange(h, dtype=jnp.int32)) % self.max_size
+        new = BufferState(
+            states=buf.states.at[idx].set(states),
+            actions=buf.actions.at[idx].set(actions),
+            rewards=buf.rewards.at[idx].set(rewards),
+            undones=buf.undones.at[idx].set(undones),
+            unmasks=buf.unmasks.at[idx].set(unmasks),
+            ptr=(buf.ptr + h) % self.max_size,
+            size=jnp.minimum(buf.size + h, self.max_size),
+            per_tree=buf.per_tree,
+        )
+        if self.tree is not None:
+            # fresh samples get max priority (reference prob=10, :115)
+            prob = jnp.full((h, self.num_seqs), 10.0)
+            new = new._replace(per_tree=self.tree.update(new.per_tree, idx, prob))
+        return new
+
+    def sample(self, buf: BufferState, key: jax.Array, batch_size: int
+               ) -> Tuple[jax.Array, ...]:
+        """Uniform sample of ``batch_size`` transitions; returns
+        (state, action, reward, undone, unmask, next_state)."""
+        sample_len = buf.size - 1
+        ids = jax.random.randint(key, (batch_size,), 0, sample_len * self.num_seqs)
+        ids0 = ids % sample_len
+        ids1 = ids // sample_len
+        return (
+            buf.states[ids0, ids1],
+            buf.actions[ids0, ids1],
+            buf.rewards[ids0, ids1],
+            buf.undones[ids0, ids1],
+            buf.unmasks[ids0, ids1],
+            buf.states[ids0 + 1, ids1],
+        )
+
+    def sample_for_per(self, buf: BufferState, key: jax.Array, batch_size: int):
+        """PER sample (reference :136-166): per-seq stratified draws from the
+        segment tree; importance weights ``(prio/min_prio)^-beta``.  Returns
+        (state, action, reward, undone, unmask, next_state, is_weight,
+        (ids0, ids1))."""
+        assert batch_size % self.num_seqs == 0
+        sub = batch_size // self.num_seqs
+        ids0, prios = self.tree.sample(buf.per_tree, key, sub)  # (N, sub) each
+        ids0 = jnp.minimum(ids0, buf.size - 2)
+        ids1 = jnp.broadcast_to(jnp.arange(self.num_seqs)[:, None], ids0.shape)
+        ids0, ids1 = ids0.reshape(-1), ids1.reshape(-1)
+
+        min_prio = self.tree.min_leaf(buf.per_tree, buf.size)  # (N,) per-seq
+        weights = jnp.power(
+            prios / jnp.maximum(min_prio, 1e-8).reshape(self.num_seqs, 1),
+            -self.per_beta).reshape(-1)
+        return (
+            buf.states[ids0, ids1],
+            buf.actions[ids0, ids1],
+            buf.rewards[ids0, ids1],
+            buf.undones[ids0, ids1],
+            buf.unmasks[ids0, ids1],
+            buf.states[ids0 + 1, ids1],
+            weights,
+            (ids0, ids1),
+        )
+
+    def td_error_update_for_per(self, buf: BufferState, ids: Tuple[jax.Array, jax.Array],
+                                td_error: jax.Array) -> BufferState:
+        """Priority update ``prob = clip(td, 1e-8, 10)^alpha`` (reference :168-179)."""
+        ids0, ids1 = ids
+        prob = jnp.power(jnp.clip(td_error, 1e-8, 10.0), self.per_alpha)
+        tree = self.tree.update_scattered(buf.per_tree, ids0, ids1, prob)
+        return buf._replace(per_tree=tree)
+
+    def save_or_load_history(self, buf: BufferState, cwd: str, if_save: bool
+                             ) -> BufferState:
+        """Persist the buffer (reference :181-211) as one npz."""
+        path = os.path.join(cwd, 'replay_buffer.npz')
+        if if_save:
+            np.savez_compressed(
+                path,
+                **{k: np.asarray(v) for k, v in buf._asdict().items()
+                   if v is not None and k != 'per_tree'})
+            print(f"| buffer.save_or_load_history(): Save {path}", flush=True)
+            return buf
+        if os.path.isfile(path):
+            d = np.load(path)
+            print(f"| buffer.save_or_load_history(): Load {path}", flush=True)
+            return buf._replace(
+                states=jnp.asarray(d['states']), actions=jnp.asarray(d['actions']),
+                rewards=jnp.asarray(d['rewards']), undones=jnp.asarray(d['undones']),
+                unmasks=jnp.asarray(d['unmasks']),
+                ptr=jnp.asarray(d['ptr']), size=jnp.asarray(d['size']))
+        return buf

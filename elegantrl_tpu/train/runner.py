@@ -1,0 +1,201 @@
+"""Training orchestrator: the fused actor-learner loop.
+
+The reference dispatches to three execution modes — single process,
+multiprocess Learner/Worker/Evaluator, multi-GPU learner ring
+(``elegantrl/train/run.py:25-36``).  On TPU all three collapse into ONE
+jitted program per round:
+
+    rollout (lax.scan over vec env + actor)  ->  buffer insert  ->
+    GAE / TD targets  ->  minibatch SGD scan  ->  metrics
+
+"Worker parallelism" is the vmapped env axis; "learner parallelism" is mesh
+data-parallel sharding of that axis (see ``elegantrl_tpu.parallel``); the
+evaluator runs between rounds on device.  The host loop only sequences
+compiled calls, checks stop conditions (``break_step`` / ``{cwd}/stop`` file,
+reference run.py:130) and logs.
+
+``train_agent`` / ``train_agent_single_process`` /
+``train_agent_multiprocessing`` / ``train_agent_multiprocessing_multi_gpu``
+mirror the reference's public entry points (run.py:25,39,141,165); the
+latter two map onto the same fused program with mesh sharding.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..envs.base import EnvDef, vec_reset
+from ..agents.base import AgentDef, collect_rollout
+from ..utils.checkpoint import save_pytree, load_pytree
+from .evaluator import Evaluator
+from .replay_buffer import ReplayBuffer
+
+
+class TrainCarry(NamedTuple):
+    agent_state: Any
+    buf_state: Any         # BufferState or None (on-policy)
+    env_state: Any
+    obs: jax.Array
+    key: jax.Array
+
+
+def _resolve_env_def(args: Config) -> EnvDef:
+    """Accept an EnvDef directly, a VecEnv-style class, or an instance."""
+    env_class, env_args = args.env_class, dict(args.env_args or {})
+    if isinstance(env_class, EnvDef):
+        return env_class
+    if hasattr(env_class, '_def'):  # instance of our VecEnv adapter
+        return env_class._def
+    # our env classes construct a VecEnv adapter holding _def
+    from ..config import kwargs_filter
+    env = env_class(**kwargs_filter(env_class.__init__, env_args))
+    if hasattr(env, '_def'):
+        return env._def
+    raise TypeError(
+        f"{env_class} is not a pure-JAX env (no EnvDef). External (host) envs "
+        "are not yet supported in the fused TPU loop.")
+
+
+def _make_agent(args: Config, buffer: Optional[ReplayBuffer]) -> AgentDef:
+    agent_class = args.agent_class
+    make = getattr(agent_class, 'make', None)
+    if make is None and callable(agent_class):
+        make = agent_class
+    return make(args.net_dims, args.state_dim, args.action_dim, args,
+                buffer=buffer)
+
+
+def train_agent(args: Config, if_single_process: bool = True) -> dict:
+    """Train and evaluate; returns a result dict with the recorder array,
+    final agent state, and throughput stats."""
+    args.init_before_training()
+    env = _resolve_env_def(args)
+    spec = env.spec
+    if args.state_dim is None:
+        args.state_dim = spec.state_dim
+    if args.action_dim is None:
+        args.action_dim = spec.action_dim
+    if args.if_discrete is None:
+        args.if_discrete = spec.if_discrete
+    if args.max_step == 12345:
+        args.max_step = spec.max_step
+    num_envs = int(args.num_envs)
+    horizon_len = int(args.horizon_len)
+    reward_scale = float(args.reward_scale)
+
+    '''buffer (off-policy only, reference run.py:64-76)'''
+    if args.if_off_policy:
+        rb = ReplayBuffer(max_size=args.buffer_size, state_dim=args.state_dim,
+                          action_dim=args.action_dim, num_seqs=num_envs,
+                          if_use_per=bool(getattr(args, 'if_use_per', False)),
+                          if_discrete=bool(args.if_discrete), args=args)
+    else:
+        rb = None
+
+    agent = _make_agent(args, rb)
+
+    key = jax.random.key(int(args.random_seed))
+    k_agent, k_env, k_train = jax.random.split(key, 3)
+    agent_state = agent.init(k_agent)
+    if args.continue_train:
+        ckpt = os.path.join(args.cwd, 'agent.npz')
+        if os.path.isfile(ckpt):
+            agent_state = load_pytree(ckpt, agent_state)
+            print(f"| train_agent: loaded {ckpt}", flush=True)
+    env_state, obs = vec_reset(env, k_env, num_envs)
+    buf_state = rb.init() if rb else None
+
+    '''one fused round: explore horizon_len steps then update'''
+    def round_fn(carry: TrainCarry, _):
+        key, k_roll, k_upd = jax.random.split(carry.key, 3)
+        rollout, env_state, obs = collect_rollout(
+            env, carry.agent_state, agent.explore_action, agent.env_action,
+            carry.env_state, carry.obs, k_roll, horizon_len, reward_scale)
+        exp_r = jnp.mean(rollout.rewards)
+        if agent.if_off_policy:
+            buf_state = rb.update(carry.buf_state, (
+                rollout.states, rollout.actions, rollout.rewards,
+                rollout.undones, rollout.unmasks))
+            agent_state, buf_state, metrics = agent.update(
+                carry.agent_state, buf_state, k_upd)
+        else:
+            buf_state = carry.buf_state
+            agent_state, metrics = agent.update(
+                carry.agent_state, rollout, obs, k_upd)
+        metrics = dict(metrics, exp_r=exp_r)
+        return TrainCarry(agent_state, buf_state, env_state, obs, key), metrics
+
+    @partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def train_rounds(carry: TrainCarry, n_rounds: int):
+        return jax.lax.scan(round_fn, carry, None, length=n_rounds)
+
+    '''evaluator (reference run.py:79-82)'''
+    eval_env = env
+    if args.eval_env_class is not None:
+        eval_args = Config(args.agent_class, args.eval_env_class,
+                           args.eval_env_args or dict(args.env_args))
+        eval_env = _resolve_env_def(eval_args)
+    evaluator = Evaluator(cwd=args.cwd, env=eval_env,
+                          greedy_action=agent.greedy_action, args=args)
+
+    steps_per_round = horizon_len * num_envs
+    rounds_per_eval = max(1, int(args.eval_per_step) // steps_per_round)
+
+    carry = TrainCarry(agent_state, buf_state, env_state, obs, k_train)
+    total_step = 0
+    t_start = time.time()
+    if_train = True
+    while if_train:
+        carry, metrics = train_rounds(carry, rounds_per_eval)
+        metrics = {k: float(np.mean(np.asarray(v))) for k, v in metrics.items()}
+        total_step += steps_per_round * rounds_per_eval
+        logging_tuple = (metrics.get('obj_critic', 0.0),
+                         metrics.get('obj_actor', 0.0))
+        evaluator.evaluate_and_save(
+            carry.agent_state, steps=steps_per_round * rounds_per_eval,
+            exp_r=metrics.get('exp_r', 0.0), logging_tuple=logging_tuple)
+        if_train = (total_step <= args.break_step
+                    and not os.path.exists(os.path.join(args.cwd, 'stop')))
+
+    used_time = time.time() - t_start
+    print(f'| UsedTime: {used_time:>7.0f} | SavedDir: {args.cwd}', flush=True)
+    evaluator.save_or_load_recorder(if_save=True)
+    evaluator.save_training_curve_jpg()
+    save_pytree(os.path.join(args.cwd, 'agent.npz'), carry.agent_state)
+    if args.if_save_buffer and rb is not None:
+        rb.save_or_load_history(carry.buf_state, args.cwd, if_save=True)
+
+    return {
+        'recorder': np.array(evaluator.recorder, dtype=np.float64),
+        'agent_state': carry.agent_state,
+        'total_step': total_step,
+        'used_time': used_time,
+        'steps_per_second': total_step / max(used_time, 1e-9),
+        'max_r': evaluator.max_r,
+    }
+
+
+def train_agent_single_process(args: Config) -> dict:
+    return train_agent(args)
+
+
+def train_agent_multiprocessing(args: Config) -> dict:
+    """The worker/learner/evaluator process triangle (reference
+    run.py:141-162) is fused into the single jit program on TPU; this alias
+    exists for API parity."""
+    return train_agent(args)
+
+
+def train_agent_multiprocessing_multi_gpu(args: Config) -> dict:
+    """Multi-learner training (reference run.py:165-202).  On TPU, set
+    ``args.mesh_axes = {'dp': n}`` to shard the env axis over the device mesh
+    instead of spawning per-GPU learner processes."""
+    return train_agent(args)

@@ -1,0 +1,53 @@
+"""Checkpointing: whole agent/training pytrees as flat npz archives.
+
+Replaces the reference's per-attribute ``th.save``/``th.load`` of pickled
+modules (``AgentBase.save_or_load_agent``, AgentBase.py:280-297) with a
+safe, framework-neutral format: each leaf stored under its pytree key path.
+Loading requires a template pytree of the same structure (the usual JAX
+pattern), so no arbitrary code is unpickled.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, 'key'):
+            parts.append(str(p.key))
+        elif hasattr(p, 'idx'):
+            parts.append(str(p.idx))
+        elif hasattr(p, 'name'):
+            parts.append(str(p.name))
+        else:
+            parts.append(str(p))
+    return '/'.join(parts)
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    arrays = {}
+    for i, (kp, leaf) in enumerate(leaves):
+        arrays[f"{i:04d}|{_path_str(kp)}"] = np.asarray(leaf)
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    np.savez_compressed(path, **arrays)
+
+
+def load_pytree(path: str, template: Any) -> Any:
+    """Load leaves (by flatten order) into ``template``'s structure."""
+    data = np.load(path)
+    keys = sorted(data.files, key=lambda k: int(k.split('|')[0]))
+    leaves = [data[k] for k in keys]
+    treedef = jax.tree_util.tree_structure(template)
+    t_leaves = jax.tree_util.tree_leaves(template)
+    assert len(leaves) == len(t_leaves), \
+        f"checkpoint has {len(leaves)} leaves, template has {len(t_leaves)}"
+    leaves = [np.asarray(l).astype(t.dtype) if hasattr(t, 'dtype') else l
+              for l, t in zip(leaves, t_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
