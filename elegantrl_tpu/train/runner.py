@@ -73,10 +73,20 @@ def _make_agent(args: Config, buffer: Optional[ReplayBuffer]) -> AgentDef:
                 buffer=buffer)
 
 
-def train_agent(args: Config, if_single_process: bool = True) -> dict:
-    """Train and evaluate; returns a result dict with the recorder array,
-    final agent state, and throughput stats."""
-    args.init_before_training()
+class TrainContext(NamedTuple):
+    env: EnvDef
+    agent: AgentDef
+    rb: Optional[ReplayBuffer]
+    round_fn: Any        # (TrainCarry, None) -> (TrainCarry, metrics)
+    carry: TrainCarry
+    steps_per_round: int
+
+
+def build_training(args: Config, mesh=None) -> TrainContext:
+    """Construct env/agent/buffer and the fused per-round step function.
+    Shared by ``train_agent``, the benchmark harness and the multi-chip
+    dry-run.  When ``mesh`` is given the carry is sharded env-axis
+    data-parallel (see ``elegantrl_tpu.parallel.mesh``)."""
     env = _resolve_env_def(args)
     spec = env.spec
     if args.state_dim is None:
@@ -133,6 +143,27 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
         metrics = dict(metrics, exp_r=exp_r)
         return TrainCarry(agent_state, buf_state, env_state, obs, key), metrics
 
+    carry = TrainCarry(agent_state, buf_state, env_state, obs, k_train)
+    if mesh is not None:
+        from ..parallel.mesh import shard_train_carry
+        carry = shard_train_carry(mesh, carry)
+    return TrainContext(env=env, agent=agent, rb=rb, round_fn=round_fn,
+                        carry=carry, steps_per_round=horizon_len * num_envs)
+
+
+def train_agent(args: Config, if_single_process: bool = True) -> dict:
+    """Train and evaluate; returns a result dict with the recorder array,
+    final agent state, and throughput stats."""
+    args.init_before_training()
+    mesh = None
+    if getattr(args, 'mesh_axes', None):
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh_axes)
+    ctx = build_training(args, mesh=mesh)
+    env, agent, rb, round_fn = ctx.env, ctx.agent, ctx.rb, ctx.round_fn
+    carry = ctx.carry
+    steps_per_round = ctx.steps_per_round
+
     @partial(jax.jit, static_argnums=1, donate_argnums=0)
     def train_rounds(carry: TrainCarry, n_rounds: int):
         return jax.lax.scan(round_fn, carry, None, length=n_rounds)
@@ -146,10 +177,8 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
     evaluator = Evaluator(cwd=args.cwd, env=eval_env,
                           greedy_action=agent.greedy_action, args=args)
 
-    steps_per_round = horizon_len * num_envs
     rounds_per_eval = max(1, int(args.eval_per_step) // steps_per_round)
 
-    carry = TrainCarry(agent_state, buf_state, env_state, obs, k_train)
     total_step = 0
     t_start = time.time()
     if_train = True
