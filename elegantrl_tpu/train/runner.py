@@ -112,6 +112,8 @@ def build_training(args: Config, mesh=None) -> TrainContext:
 
     agent = _make_agent(args, rb)
 
+    if args.random_seed is None:
+        args.random_seed = max(0, int(args.gpu_id))
     key = jax.random.key(int(args.random_seed))
     k_agent, k_env, k_train = jax.random.split(key, 3)
     agent_state = agent.init(k_agent)
@@ -228,3 +230,37 @@ def train_agent_multiprocessing_multi_gpu(args: Config) -> dict:
     ``args.mesh_axes = {'dp': n}`` to shard the env axis over the device mesh
     instead of spawning per-GPU learner processes."""
     return train_agent(args)
+
+
+def valid_agent(env_class, env_args: dict, net_dims, agent_class,
+                actor_path: str, render_times: int = 8) -> list:
+    """Load a saved agent checkpoint and report greedy episode returns
+    (reference ``valid_agent``/``render_agent``, run.py:481-509; TPU envs
+    have no GUI, so 'render' = print per-episode return/steps)."""
+    from .evaluator import make_eval_fn
+
+    args = Config(agent_class, env_class, dict(env_args))
+    args.net_dims = net_dims
+    env = _resolve_env_def(args)
+    agent = _make_agent(args, None) if not args.if_off_policy else None
+    if agent is None:
+        rb = ReplayBuffer(max_size=8, state_dim=args.state_dim,
+                          action_dim=args.action_dim, num_seqs=1,
+                          if_discrete=bool(args.if_discrete), args=args)
+        agent = _make_agent(args, rb)
+    agent_state = agent.init(jax.random.key(0))
+    print(f"| valid_agent: load actor from: {actor_path}", flush=True)
+    agent_state = load_pytree(actor_path, agent_state)
+
+    eval_fn = make_eval_fn(env, agent.greedy_action, render_times,
+                           env.spec.max_step)
+    returns, steps = eval_fn(agent_state, jax.random.key(1))
+    results = []
+    for i, (r, s) in enumerate(zip(np.asarray(returns), np.asarray(steps))):
+        print(f"|{i:4}  cumulative_reward {float(r):9.3f}  episode_step {int(s):5d}",
+              flush=True)
+        results.append((float(r), int(s)))
+    return results
+
+
+render_agent = valid_agent

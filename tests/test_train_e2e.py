@@ -1,0 +1,72 @@
+"""End-to-end training tests: short budgets, improvement-based thresholds
+(the reference's executable regression baselines are its examples/demo_*.py
+docstrings; full solve-level parity is exercised by examples/ on real TPU)."""
+import numpy as np
+import pytest
+
+from elegantrl_tpu.config import Config
+from elegantrl_tpu.envs import CartPoleEnv, PendulumEnv
+from elegantrl_tpu.agents import AgentDQN, AgentPPO, AgentModSAC
+from elegantrl_tpu.train.runner import train_agent
+
+
+def test_ppo_pendulum_improves(tmp_path):
+    args = Config(agent_class=AgentPPO, env_class=PendulumEnv,
+                  env_args={'env_name': 'Pendulum-v1', 'num_envs': 16,
+                            'max_step': 200, 'state_dim': 3, 'action_dim': 1,
+                            'if_discrete': False})
+    args.net_dims = (64, 32)
+    args.gamma = 0.97
+    args.horizon_len = 128
+    args.repeat_times = 16
+    args.learning_rate = 4e-4
+    args.state_value_tau = 0.1
+    args.eval_per_step = 2048
+    args.eval_times = 8
+    args.break_step = 30000
+    args.cwd = str(tmp_path / 'ppo')
+    r = train_agent(args)
+    rec = r['recorder']
+    assert rec.shape[0] >= 3
+    early = rec[0, 1]
+    assert r['max_r'] > early + 100, (early, r['max_r'])
+
+
+def test_dqn_cartpole_solves_partially(tmp_path):
+    args = Config(agent_class=AgentDQN, env_class=CartPoleEnv,
+                  env_args={'env_name': 'CartPole-v1', 'num_envs': 16,
+                            'max_step': 500, 'state_dim': 4, 'action_dim': 2,
+                            'if_discrete': True})
+    args.net_dims = (64, 32)
+    args.horizon_len = 64
+    args.buffer_size = 50_000
+    args.batch_size = 64
+    args.learning_rate = 1e-3
+    args.eval_per_step = 8192
+    args.eval_times = 8
+    args.break_step = 40_000
+    args.cwd = str(tmp_path / 'dqn')
+    r = train_agent(args)
+    assert r['max_r'] > 100, r['max_r']
+
+
+def test_modsac_pendulum_runs_and_improves(tmp_path):
+    args = Config(agent_class=AgentModSAC, env_class=PendulumEnv,
+                  env_args={'env_name': 'Pendulum-v1', 'num_envs': 8,
+                            'max_step': 200, 'state_dim': 3, 'action_dim': 1,
+                            'if_discrete': False})
+    args.net_dims = (32, 32)
+    args.horizon_len = 64
+    args.buffer_size = 20_000
+    args.batch_size = 64
+    args.repeat_times = 0.5
+    args.learning_rate = 6e-4
+    args.reward_scale = 2 ** -1
+    args.eval_per_step = 4096
+    args.eval_times = 8
+    args.break_step = 16_000
+    args.cwd = str(tmp_path / 'sac')
+    r = train_agent(args)
+    rec = r['recorder']
+    assert np.isfinite(rec[:, 1]).all()
+    assert r['max_r'] > rec[0, 1], rec[:, 1]
