@@ -59,6 +59,13 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
     lambda_gae_adv = float(getattr(args, 'lambda_gae_adv', 0.95))
     lambda_entropy = float(getattr(args, 'lambda_entropy', 0.01 if discrete else 0.001))
     if_use_vtrace = bool(getattr(args, 'if_use_vtrace', getattr(args, 'if_use_v_trace', True)))
+    # The reference implements the surrogate as the single-sided form
+    # ``adv * ratio * where(adv>0, 1-clip, 1+clip)`` (AgentPPO.py:196-199),
+    # which never actually clips the ratio; on Pendulum it plateaus (verified
+    # against the reference itself running on this machine).  Default to the
+    # standard double-sided clip; set ``args.if_single_sided_clip = True``
+    # for exact reference-form parity.
+    if_single_sided_clip = bool(getattr(args, 'if_single_sided_clip', False))
     state_value_tau = float(getattr(args, 'state_value_tau', 0.0))
     batch_size = int(getattr(args, 'batch_size', 128))
     repeat_times = float(getattr(args, 'repeat_times', 8.0))
@@ -175,8 +182,14 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
                     obj_entropy = jnp.mean(entropy)
                     return -obj_surrogate, (obj_surrogate, obj_entropy)
                 ratio = jnp.exp(new_logprob - logprob)
-                surrogate = advantage * ratio * jnp.where(
-                    advantage > 0, 1.0 - ratio_clip, 1.0 + ratio_clip)
+                if if_single_sided_clip:  # reference form (AgentPPO.py:199)
+                    surrogate = advantage * ratio * jnp.where(
+                        advantage > 0, 1.0 - ratio_clip, 1.0 + ratio_clip)
+                else:  # standard clipped surrogate
+                    surrogate = jnp.minimum(
+                        advantage * ratio,
+                        advantage * jnp.clip(ratio, 1.0 - ratio_clip,
+                                             1.0 + ratio_clip))
                 obj_surrogate = jnp.mean(surrogate * unmask)
                 obj_entropy = jnp.mean(entropy * unmask)
                 return -(obj_surrogate - obj_entropy * lambda_entropy), \

@@ -12,24 +12,24 @@ from elegantrl_tpu.train.runner import train_agent
 
 def test_ppo_pendulum_improves(tmp_path):
     args = Config(agent_class=AgentPPO, env_class=PendulumEnv,
-                  env_args={'env_name': 'Pendulum-v1', 'num_envs': 16,
+                  env_args={'env_name': 'Pendulum-v1', 'num_envs': 8,
                             'max_step': 200, 'state_dim': 3, 'action_dim': 1,
                             'if_discrete': False})
-    args.net_dims = (64, 32)
+    args.net_dims = (64, 64)
     args.gamma = 0.97
-    args.horizon_len = 128
-    args.repeat_times = 16
+    args.horizon_len = 400
+    args.repeat_times = 32
     args.learning_rate = 4e-4
-    args.state_value_tau = 0.1
-    args.eval_per_step = 2048
+    args.eval_per_step = 8192
     args.eval_times = 8
-    args.break_step = 30000
+    args.break_step = 64000
     args.cwd = str(tmp_path / 'ppo')
     r = train_agent(args)
     rec = r['recorder']
     assert rec.shape[0] >= 3
-    early = rec[0, 1]
-    assert r['max_r'] > early + 100, (early, r['max_r'])
+    # with the default double-sided clip this config reaches ~-240 on CPU;
+    # -450 leaves seed margin (random policy sits near -700)
+    assert r['max_r'] > -450, rec[:, 1]
 
 
 def test_dqn_cartpole_solves_partially(tmp_path):
@@ -37,7 +37,7 @@ def test_dqn_cartpole_solves_partially(tmp_path):
                   env_args={'env_name': 'CartPole-v1', 'num_envs': 16,
                             'max_step': 500, 'state_dim': 4, 'action_dim': 2,
                             'if_discrete': True})
-    args.net_dims = (64, 32)
+    args.net_dims = (128, 128)
     args.horizon_len = 64
     args.buffer_size = 50_000
     args.batch_size = 64
