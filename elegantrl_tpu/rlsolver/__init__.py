@@ -1,0 +1,9 @@
+from .graphs import (  # noqa: F401
+    generate_graph, read_graph_txt, write_graph_txt, edges_to_adjacency,
+    write_graph_result,
+)
+from .maxcut import MaxCutSimulator  # noqa: F401
+from .methods import (  # noqa: F401
+    random_search, greedy_local_search, simulated_annealing,
+)
+from .mcpg import mcpg_solve  # noqa: F401

@@ -1,0 +1,107 @@
+"""Graph utilities for the combinatorial-optimization solver layer.
+
+Capability match for the reference's ``rlsolver/methods/util_read_data.py``
+(Gset txt format: header ``num_nodes num_edges``, then 1-indexed
+``i j weight`` lines), ``util_generate*.py`` (synthetic BA / ER / PL
+instances) and ``util_result.write_graph_result``.
+
+Graphs are kept as dense symmetric float32 adjacency matrices: the target
+instances (Gset-scale, hundreds..thousands of nodes) fit comfortably in HBM
+and dense (num_sims, N) x (N, N) products run on the MXU — the TPU-native
+replacement for the reference's edge-index gather loops
+(``envs/env_mcpg_maxcut.py:52-63``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+GraphEdges = np.ndarray  # (E, 3) [i, j, w] 0-indexed
+
+
+def generate_graph(graph_type: str, num_nodes: int, seed: int = 0,
+                   avg_degree: int = 4) -> GraphEdges:
+    """Synthetic instance families matching the reference's generators:
+    'ER' (Erdos-Renyi), 'BA' (Barabasi-Albert preferential attachment),
+    'PL' (powerlaw cluster, approximated as BA + triangle closures)."""
+    rng = np.random.default_rng(seed)
+    edges = set()
+    if graph_type.upper() == 'ER':
+        p = avg_degree / max(num_nodes - 1, 1)
+        for i in range(num_nodes):
+            for j in rng.choice(num_nodes, size=max(1, int(p * num_nodes)), replace=False):
+                if i < j:
+                    edges.add((i, int(j)))
+    elif graph_type.upper() in ('BA', 'PL'):
+        m = max(1, avg_degree // 2)
+        targets = list(range(m))
+        repeated: List[int] = list(range(m))
+        for v in range(m, num_nodes):
+            for t in targets:
+                if t != v:
+                    edges.add((min(v, t), max(v, t)))
+            repeated.extend(targets)
+            repeated.extend([v] * len(targets))
+            targets = [int(rng.choice(repeated)) for _ in range(m)]
+            if graph_type.upper() == 'PL' and len(targets) >= 2 and rng.random() < 0.3:
+                a, b = targets[0], targets[1]
+                if a != b:
+                    edges.add((min(a, b), max(a, b)))
+    else:
+        raise ValueError(f"unknown graph_type {graph_type}")
+    e = sorted(edges)
+    return np.array([[i, j, 1.0] for i, j in e], dtype=np.float64)
+
+
+def read_graph_txt(path: str) -> Tuple[int, GraphEdges]:
+    """Read a Gset-format txt (1-indexed) -> (num_nodes, edges 0-indexed)."""
+    with open(path) as f:
+        n, e = map(int, f.readline().split()[:2])
+        rows = []
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                w = float(parts[2]) if len(parts) > 2 else 1.0
+                rows.append((int(parts[0]) - 1, int(parts[1]) - 1, w))
+    return n, np.array(rows, dtype=np.float64)
+
+
+def write_graph_txt(path: str, num_nodes: int, edges: GraphEdges) -> None:
+    with open(path, 'w') as f:
+        f.write(f"{num_nodes} {len(edges)}\n")
+        for i, j, w in edges:
+            f.write(f"{int(i) + 1} {int(j) + 1} {int(w)}\n")
+
+
+def edges_to_adjacency(edges: GraphEdges, num_nodes: int) -> np.ndarray:
+    """(N, N) symmetric float32 adjacency."""
+    adj = np.zeros((num_nodes, num_nodes), np.float32)
+    for i, j, w in edges:
+        adj[int(i), int(j)] += w
+        adj[int(j), int(i)] += w
+    return adj
+
+
+def write_graph_result(obj: float, running_duration: float, num_nodes: int,
+                       alg_name: str, solution: np.ndarray, filename: str,
+                       plus1: bool = True) -> str:
+    """Write a result file like the reference's
+    ``util_result.write_graph_result`` (used by iSCO/main_maxcut.py:42):
+    header comments with obj/time/alg, then 1-indexed node assignments."""
+    directory = os.path.dirname(filename)
+    if directory:
+        os.makedirs(directory, exist_ok=True)
+    out = f"{filename}_{alg_name}_{int(time.time())}.txt"
+    add = 1 if plus1 else 0
+    with open(out, 'w') as f:
+        f.write(f"// obj: {float(obj)}\n")
+        f.write(f"// running_duration: {running_duration}\n")
+        f.write(f"// num_nodes: {num_nodes}\n")
+        f.write(f"// alg_name: {alg_name}\n")
+        for node, val in enumerate(np.asarray(solution).astype(int)):
+            f.write(f"{node + 1} {val + add}\n")
+    return out
