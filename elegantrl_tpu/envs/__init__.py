@@ -6,3 +6,6 @@ from .point_chasing import (  # noqa: F401
     make_point_chasing, make_point_chasing_discrete,
 )
 from .stock_trading import StockTradingEnv, StockTradingVecEnv, make_stock_trading  # noqa: F401
+from .lunar_lander import (  # noqa: F401
+    LunarLanderEnv, LunarLanderContinuousEnv, make_lunar_lander,
+)

@@ -30,10 +30,16 @@ def _path_str(path) -> str:
     return '/'.join(parts)
 
 
+def _is_prng_key(x) -> bool:
+    return hasattr(x, 'dtype') and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+
+
 def save_pytree(path: str, tree: Any) -> None:
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
     arrays = {}
     for i, (kp, leaf) in enumerate(leaves):
+        if _is_prng_key(leaf):  # typed PRNG keys store their raw bits
+            leaf = jax.random.key_data(leaf)
         arrays[f"{i:04d}|{_path_str(kp)}"] = np.asarray(leaf)
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     np.savez_compressed(path, **arrays)
@@ -48,6 +54,12 @@ def load_pytree(path: str, template: Any) -> Any:
     t_leaves = jax.tree_util.tree_leaves(template)
     assert len(leaves) == len(t_leaves), \
         f"checkpoint has {len(leaves)} leaves, template has {len(t_leaves)}"
-    leaves = [np.asarray(l).astype(t.dtype) if hasattr(t, 'dtype') else l
-              for l, t in zip(leaves, t_leaves)]
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+    out = []
+    for l, t in zip(leaves, t_leaves):
+        if _is_prng_key(t):
+            out.append(jax.random.wrap_key_data(np.asarray(l)))
+        elif hasattr(t, 'dtype'):
+            out.append(np.asarray(l).astype(t.dtype))
+        else:
+            out.append(l)
+    return jax.tree_util.tree_unflatten(treedef, out)

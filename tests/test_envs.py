@@ -5,14 +5,17 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from functools import partial
+
 from elegantrl_tpu.envs import (
     make_pendulum, make_cartpole, make_point_chasing,
-    make_point_chasing_discrete, make_stock_trading,
+    make_point_chasing_discrete, make_stock_trading, make_lunar_lander,
     vec_reset, vec_step, VecEnv,
 )
 
 ALL_DEFS = [make_pendulum, make_cartpole, make_point_chasing,
-            make_point_chasing_discrete, make_stock_trading]
+            make_point_chasing_discrete, make_stock_trading,
+            partial(make_lunar_lander, False), partial(make_lunar_lander, True)]
 
 
 @pytest.mark.parametrize("make", ALL_DEFS)
@@ -127,6 +130,26 @@ def test_stock_trading_cash_constraint():
     state, _, _, _, _ = vec_step(env, state, jnp.ones((1, env.spec.action_dim)),
                                  jax.random.key(1))
     assert float(state.amount[0]) >= -1e-3
+
+
+def test_lunar_lander_semantics():
+    env = make_lunar_lander(continuous=True)
+    step = jax.jit(partial(vec_step, env))
+    # hovering policy (counteract gravity) must survive longer than freefall
+    state, obs = vec_reset(env, jax.random.key(0), 8)
+    key = jax.random.key(1)
+    crash_step_free = None
+    for t in range(300):
+        key, sub = jax.random.split(key)
+        state, obs, r, term, trunc = vec_step(
+            env, state, jnp.full((8, 2), -1.0), sub)  # engines off
+        if np.asarray(term).any() and crash_step_free is None:
+            crash_step_free = t
+            break
+    assert crash_step_free is not None and crash_step_free < 120
+    # crash penalty: freefall terminal reward is strongly negative
+    r = np.asarray(r)
+    assert r[np.asarray(term)].min() < -50
 
 
 def test_stateful_adapter_api():
