@@ -62,6 +62,9 @@ class AgentDef(NamedTuple):
     greedy_action: Callable[[Any, jax.Array], jax.Array]
     env_action: Callable[[jax.Array], jax.Array]  # converts stored action -> env action
     update: Callable[..., Tuple[Any, dict]]
+    # optional: (agent_state, rollout, last_obs) -> (H, N) backward-discounted
+    # returns for lambda_fit_cum_r (reference AgentBase.get_cumulative_rewards)
+    cum_returns: Any = None
 
 
 def make_optimizer(learning_rate: float, clip_grad_norm: float) -> optax.GradientTransformation:

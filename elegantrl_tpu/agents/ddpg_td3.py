@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..ops.nets import mlp_apply, mlp_init, soft_update
 from .base import AgentDef, grad_step, make_optimizer
-from .off_policy import make_offpolicy_update
+from .off_policy import cum_fit_term, make_offpolicy_update
 
 
 class DDPGState(NamedTuple):
@@ -47,6 +47,7 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
     batch_size = int(getattr(args, 'batch_size', 64))
     repeat_times = float(getattr(args, 'repeat_times', 1.0))
     if_use_per = bool(getattr(args, 'if_use_per', False))
+    lambda_fit_cum_r = float(getattr(args, 'lambda_fit_cum_r', 0.0))
     buffer_init_size = int(getattr(args, 'buffer_init_size', batch_size * 8))
     explore_noise_std = float(getattr(args, 'explore_noise_std',
                                       getattr(args, 'explore_noise', 0.05)))
@@ -92,9 +93,9 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
             (state, action, reward, undone, unmask, next_state, is_weight,
              is_ids) = buffer.sample_for_per(buf_state, k_sample, batch_size)
         else:
-            state, action, reward, undone, unmask, next_state = buffer.sample(
-                buf_state, k_sample, batch_size)
-            is_weight, is_ids = None, None
+            (state, action, reward, undone, unmask, next_state,
+             is_ids) = buffer.sample(buf_state, k_sample, batch_size)
+            is_weight = None
 
         if td3:
             next_action = actor_noisy(s.act, next_state, k_noise, policy_noise_std)
@@ -114,6 +115,8 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
                 q = jnp.mean(qs, axis=-1) * unmask
                 td = jnp.square(q - q_label) * unmask
             obj = jnp.mean(td * is_weight) if if_use_per else jnp.mean(td)
+            if lambda_fit_cum_r != 0.0:
+                obj = obj + cum_fit_term(buf_state, is_ids, qs, lambda_fit_cum_r)
             return obj, td
 
         (obj_critic, td), g_cri = jax.value_and_grad(cri_loss_fn, has_aux=True)(s.cri)
@@ -150,11 +153,18 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
 
     update = make_offpolicy_update(batch_size, repeat_times, objectives)
 
+    def cum_returns(s: DDPGState, rollout, last_obs):
+        # reference AgentBase.get_cumulative_rewards (AgentBase.py:226-237):
+        # bootstrap with cri_target(last, act_target(last))
+        from ..ops.gae import cumulative_returns as _cr
+        next_v = q_mean(s.cri_target, last_obs, actor(s.act_target, last_obs))
+        return _cr(rollout.rewards, rollout.undones, next_v, gamma)
+
     return AgentDef(name='AgentTD3' if td3 else 'AgentDDPG',
                     if_off_policy=True, if_discrete=False,
                     init=init, explore_action=explore_action,
                     greedy_action=greedy_action, env_action=lambda a: a,
-                    update=update)
+                    update=update, cum_returns=cum_returns)
 
 
 make_td3 = partial(_make, td3=True)

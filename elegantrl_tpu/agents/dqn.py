@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..ops.nets import mlp_apply, mlp_init, soft_update
 from .base import AgentDef, grad_step, make_optimizer
-from .off_policy import epsilon_greedy, make_offpolicy_update
+from .off_policy import cum_fit_term, epsilon_greedy, make_offpolicy_update
 
 
 class DQNState(NamedTuple):
@@ -45,6 +45,8 @@ def make_dqn(net_dims, state_dim: int, action_dim: int, args,
     batch_size = int(getattr(args, 'batch_size', 64))
     repeat_times = float(getattr(args, 'repeat_times', 1.0))
     if_use_per = bool(getattr(args, 'if_use_per', False))
+    lambda_fit_cum_r = float(getattr(args, 'lambda_fit_cum_r', 0.0))
+    gamma_ = gamma
     net_dims = tuple(net_dims)
 
     optimizer = make_optimizer(lr, clip_grad)
@@ -113,9 +115,9 @@ def make_dqn(net_dims, state_dim: int, action_dim: int, args,
             (state, action, reward, undone, unmask, next_state, is_weight,
              is_ids) = buffer.sample_for_per(buf_state, key, batch_size)
         else:
-            state, action, reward, undone, unmask, next_state = buffer.sample(
-                buf_state, key, batch_size)
-            is_weight, is_ids = None, None
+            (state, action, reward, undone, unmask, next_state,
+             is_ids) = buffer.sample(buf_state, key, batch_size)
+            is_weight = None
 
         if twin:
             nq1, nq2 = q1_q2(s.q_target, next_state)
@@ -137,6 +139,9 @@ def make_dqn(net_dims, state_dim: int, action_dim: int, args,
                 td = jnp.square(q1 - q_label) * unmask
                 q_first = q1
             obj = jnp.mean(td * is_weight) if if_use_per else jnp.mean(td)
+            if lambda_fit_cum_r != 0.0:
+                obj = obj + cum_fit_term(buf_state, is_ids, q_first,
+                                         lambda_fit_cum_r)
             return obj, (q_first, td)
 
         (obj_critic, (q_first, td)), grads = jax.value_and_grad(
@@ -152,12 +157,21 @@ def make_dqn(net_dims, state_dim: int, action_dim: int, args,
 
     update = make_offpolicy_update(batch_size, repeat_times, objectives)
 
+    def cum_returns(s: DQNState, rollout, last_obs):
+        # bootstrap with max_a Q_target(last_obs) (the reference's DQN variant
+        # bootstraps with the ARGMAX INDEX, AgentDQN.py:72 — an evident bug;
+        # we use the max Q-value, matching AgentEmbedDQN.py:80)
+        from ..ops.gae import cumulative_returns as _cr
+        next_v = jnp.max(q_td_value(s.q_target, last_obs), axis=-1)
+        return _cr(rollout.rewards, rollout.undones, next_v, gamma_)
+
     name = ('AgentD3QN' if (twin and duel) else 'AgentDoubleDQN' if twin
             else 'AgentDuelingDQN' if duel else 'AgentDQN')
     return AgentDef(name=name, if_off_policy=True, if_discrete=True,
                     init=init, explore_action=explore_action,
                     greedy_action=greedy_action,
-                    env_action=lambda a: a, update=update)
+                    env_action=lambda a: a, update=update,
+                    cum_returns=cum_returns)
 
 
 class AgentDQN:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.nets import ensemble_init, mlp_apply, mlp_init, soft_update
 from .base import AgentDef, grad_step, make_optimizer
-from .off_policy import epsilon_greedy, make_offpolicy_update
+from .off_policy import cum_fit_term, epsilon_greedy, make_offpolicy_update
 
 
 class EmbedDQNState(NamedTuple):
@@ -42,6 +42,7 @@ def make_embed_dqn(net_dims, state_dim: int, action_dim: int, args,
     batch_size = int(getattr(args, 'batch_size', 64))
     repeat_times = float(getattr(args, 'repeat_times', 1.0))
     if_use_per = bool(getattr(args, 'if_use_per', False))
+    lambda_fit_cum_r = float(getattr(args, 'lambda_fit_cum_r', 0.0))
     num_ensembles = int(getattr(args, 'num_ensembles', 4 if ensemble else 8))
     embedding_dim = max(8, int(action_dim ** 0.5))
     net_dims = tuple(net_dims)
@@ -95,9 +96,9 @@ def make_embed_dqn(net_dims, state_dim: int, action_dim: int, args,
             (state, action, reward, undone, unmask, next_state, is_weight,
              is_ids) = buffer.sample_for_per(buf_state, key, batch_size)
         else:
-            state, action, reward, undone, unmask, next_state = buffer.sample(
-                buf_state, key, batch_size)
-            is_weight, is_ids = None, None
+            (state, action, reward, undone, unmask, next_state,
+             is_ids) = buffer.sample(buf_state, key, batch_size)
+            is_weight = None
 
         next_q = jnp.max(mean_q(s.q_target, next_state), axis=-1)
         q_label = reward + undone * gamma * next_q
@@ -107,6 +108,8 @@ def make_embed_dqn(net_dims, state_dim: int, action_dim: int, args,
             qs = q_heads(qp, state, a_emb)          # (B, E)
             td = jnp.mean(jnp.square(qs - q_label[:, None]), axis=-1) * unmask
             obj = jnp.mean(td * is_weight) if if_use_per else jnp.mean(td)
+            if lambda_fit_cum_r != 0.0:
+                obj = obj + cum_fit_term(buf_state, is_ids, qs, lambda_fit_cum_r)
             return obj, (qs, td)
 
         (obj_critic, (qs, td)), grads = jax.value_and_grad(
@@ -121,11 +124,17 @@ def make_embed_dqn(net_dims, state_dim: int, action_dim: int, args,
 
     update = make_offpolicy_update(batch_size, repeat_times, objectives)
 
+    def cum_returns(s: EmbedDQNState, rollout, last_obs):
+        # reference AgentEmbedDQN.get_cumulative_rewards (:73-83)
+        from ..ops.gae import cumulative_returns as _cr
+        next_v = jnp.max(mean_q(s.q_target, last_obs), axis=-1)
+        return _cr(rollout.rewards, rollout.undones, next_v, gamma)
+
     return AgentDef(name='AgentEnsembleDQN' if ensemble else 'AgentEmbedDQN',
                     if_off_policy=True, if_discrete=True,
                     init=init, explore_action=explore_action,
                     greedy_action=greedy_action, env_action=lambda a: a,
-                    update=update)
+                    update=update, cum_returns=cum_returns)
 
 
 class AgentEmbedDQN:

@@ -47,6 +47,16 @@ def make_offpolicy_update(batch_size: int, repeat_times: float,
     return update
 
 
+def cum_fit_term(buf_state, ids, q_values: jax.Array, lam: float) -> jax.Array:
+    """Extra critic loss fitting the batch-mean cumulative return
+    (reference ``lambda_fit_cum_r`` branch, e.g. AgentSAC.py:66-68):
+    ``criterion(cum_reward_mean, q_values.mean(dim=0)).mean() * lam``.
+    ``q_values``: (batch,) or (batch, num_ensembles)."""
+    ids0, ids1 = ids
+    cum_mean = jnp.mean(buf_state.cum_rewards[ids0, ids1])
+    return lam * jnp.mean(jnp.square(jnp.mean(q_values, axis=0) - cum_mean))
+
+
 def epsilon_greedy(key: jax.Array, q_action: jax.Array, action_dim: int,
                    explore_rate: float) -> jax.Array:
     """Per-env epsilon-greedy (reference flips one coin for the whole batch,

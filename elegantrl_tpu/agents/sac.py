@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..ops import dists
 from ..ops.nets import ensemble_init, mlp_apply, mlp_init, soft_update
 from .base import AgentDef, grad_step, make_optimizer
-from .off_policy import make_offpolicy_update
+from .off_policy import cum_fit_term, make_offpolicy_update
 
 
 class SACState(NamedTuple):
@@ -54,6 +54,7 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
     batch_size = int(getattr(args, 'batch_size', 64))
     repeat_times = float(getattr(args, 'repeat_times', 1.0))
     if_use_per = bool(getattr(args, 'if_use_per', False))
+    lambda_fit_cum_r = float(getattr(args, 'lambda_fit_cum_r', 0.0))
     num_ensembles = int(getattr(args, 'num_ensembles', 8 if modsac else 4))
     if modsac:
         target_entropy = float(getattr(args, 'target_entropy', -jnp.log(action_dim)))
@@ -138,9 +139,9 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
             (state, action, reward, undone, unmask, next_state, is_weight,
              is_ids) = buffer.sample_for_per(buf_state, k_sample, batch_size)
         else:
-            state, action, reward, undone, unmask, next_state = buffer.sample(
-                buf_state, k_sample, batch_size)
-            is_weight, is_ids = None, None
+            (state, action, reward, undone, unmask, next_state,
+             is_ids) = buffer.sample(buf_state, k_sample, batch_size)
+            is_weight = None
 
         next_action, next_logprob = get_action_logprob(s.act, next_state, k_next)
         next_q = jnp.min(q_values(s.cri_target, next_state, next_action), axis=-1)
@@ -151,6 +152,8 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
             qs = q_values(cp, state, action)
             td = jnp.mean(jnp.square(qs - q_label[:, None]), axis=-1) * unmask
             obj = jnp.mean(td * is_weight) if if_use_per else jnp.mean(td)
+            if lambda_fit_cum_r != 0.0:
+                obj = obj + cum_fit_term(buf_state, is_ids, qs, lambda_fit_cum_r)
             return obj, td
 
         (obj_critic, td), g_cri = jax.value_and_grad(cri_loss_fn, has_aux=True)(s.cri)
@@ -209,11 +212,18 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
 
     update = make_offpolicy_update(batch_size, repeat_times, objectives)
 
+    def cum_returns(s: SACState, rollout, last_obs):
+        from ..ops.gae import cumulative_returns as _cr
+        act_params = s.act_target if modsac else s.act
+        mean, _ = actor_dist(act_params, last_obs)
+        next_v = jnp.mean(q_values(s.cri_target, last_obs, jnp.tanh(mean)), axis=-1)
+        return _cr(rollout.rewards, rollout.undones, next_v, gamma)
+
     return AgentDef(name='AgentModSAC' if modsac else 'AgentSAC',
                     if_off_policy=True, if_discrete=False,
                     init=init, explore_action=explore_action,
                     greedy_action=greedy_action, env_action=lambda a: a,
-                    update=update)
+                    update=update, cum_returns=cum_returns)
 
 
 class AgentSAC:

@@ -106,3 +106,76 @@ def ensemble_init(key: PRNGKey, num: int, init_fn: Callable[[PRNGKey], Params]) 
 def global_norm(tree: Params) -> jax.Array:
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+# --------------------------------------------------------- pixel encoder
+# Reference ``ConvNet`` (AgentBase.py:392-448): strided conv stack encoding
+# 112px or 224px uint8 images to a feature vector.  Same stage widths and
+# strides; NHWC layout (TPU-native) instead of torch's NCHW.
+
+_CONV_STAGES = {
+    224: [(32, 5, 2), (48, 3, 2), (64, 3, 2), (96, 3, 2), (128, 3, 2), (192, 5, 1)],
+    112: [(32, 5, 2), (48, 3, 2), (64, 3, 2), (96, 3, 2), (128, 5, 1)],
+}
+
+
+def convnet_init(key: PRNGKey, inp_dim: int, out_dim: int,
+                 image_size: int = 112) -> Params:
+    assert image_size in _CONV_STAGES, "image_size must be 112 or 224"
+    stages = _CONV_STAGES[image_size]
+    keys = jax.random.split(key, len(stages) + 1)
+    params = []
+    c_in = inp_dim
+    for k, (c_out, ksize, _stride) in zip(keys[:-1], stages):
+        fan_in = ksize * ksize * c_in
+        bound = 1.0 / jnp.sqrt(jnp.maximum(fan_in, 1)).astype(jnp.float32)
+        w = jax.random.uniform(k, (ksize, ksize, c_in, c_out), jnp.float32,
+                               -bound, bound)
+        b = jnp.zeros((c_out,), jnp.float32)
+        params.append((w, b))
+        c_in = c_out
+    params.append(linear_init(keys[-1], c_in, out_dim))
+    return params
+
+
+def convnet_apply(params: Params, x: jax.Array, image_size: int = 112) -> jax.Array:
+    """x: (batch, H, W, C) uint8/float.  Scales to [-1, 1] like the reference
+    (``x / 128 - 1``, AgentBase.py:433) and returns (batch, out_dim)."""
+    stages = _CONV_STAGES[image_size]
+    h = x.astype(jnp.float32) / 128.0 - 1.0
+    for (w, b), (_c, _k, stride) in zip(params[:-1], stages):
+        h = jax.lax.conv_general_dilated(
+            h, w, window_strides=(stride, stride), padding='VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        h = jax.nn.relu(h + b)
+    h = h.reshape(h.shape[0], -1)
+    w, b = params[-1]
+    return h @ w + b
+
+
+# ------------------------------------------------------------- DenseNet
+# Reference ``DenseNet`` (AgentBase.py:377-389): two concat-growing
+# Hardswish blocks, lay_dim -> lay_dim*4.
+
+def densenet_init(key: PRNGKey, lay_dim: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {'dense1': linear_init(k1, lay_dim, lay_dim),
+            'dense2': linear_init(k2, lay_dim * 2, lay_dim * 2)}
+
+
+def densenet_apply(params: Params, x: jax.Array) -> jax.Array:
+    w1, b1 = params['dense1']
+    x2 = jnp.concatenate([x, jax.nn.hard_swish(x @ w1 + b1)], axis=-1)
+    w2, b2 = params['dense2']
+    return jnp.concatenate([x2, jax.nn.hard_swish(x2 @ w2 + b2)], axis=-1)
+
+
+# ----------------------------------------------------- Ornstein-Uhlenbeck
+def ou_noise_step(noise: jax.Array, key: PRNGKey, theta: float = 0.15,
+                  sigma: float = 0.3, dt: float = 1e-2) -> jax.Array:
+    """One OU-process step (reference ``OrnsteinUhlenbeckNoise.__call__``,
+    AgentTD3.py:112-120, same update including its sign convention):
+    ``n <- n - (theta*n*dt + sigma*sqrt(dt)*N(0,1))``.  Functional: thread
+    ``noise`` through the rollout carry."""
+    eps = sigma * jnp.sqrt(dt) * jax.random.normal(key, noise.shape)
+    return noise - (theta * noise * dt + eps)

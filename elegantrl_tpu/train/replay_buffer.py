@@ -37,6 +37,7 @@ class BufferState(NamedTuple):
     ptr: jax.Array       # () int32
     size: jax.Array      # () int32, == cur_size
     per_tree: Optional[jax.Array] = None  # (N, 2*cap) segment tree, PER only
+    cum_rewards: Optional[jax.Array] = None  # (M, N) for lambda_fit_cum_r
 
 
 class ReplayBuffer:
@@ -53,6 +54,7 @@ class ReplayBuffer:
         self.if_use_per = bool(if_use_per)
         self.per_alpha = float(getattr(args, 'per_alpha', 0.6))
         self.per_beta = float(getattr(args, 'per_beta', 0.4))
+        self.if_use_cum_rewards = float(getattr(args, 'lambda_fit_cum_r', 0.0)) != 0.0
         if if_use_per:
             from ..ops.per import SegmentTree
             self.tree = SegmentTree(self.max_size, self.num_seqs)
@@ -72,6 +74,8 @@ class ReplayBuffer:
             ptr=jnp.zeros((), jnp.int32),
             size=jnp.zeros((), jnp.int32),
             per_tree=self.tree.init() if self.tree else None,
+            cum_rewards=(jnp.zeros((M, N), jnp.float32)
+                         if self.if_use_cum_rewards else None),
         )
 
     def update(self, buf: BufferState, items: Tuple[jax.Array, ...]) -> BufferState:
@@ -89,6 +93,7 @@ class ReplayBuffer:
             ptr=(buf.ptr + h) % self.max_size,
             size=jnp.minimum(buf.size + h, self.max_size),
             per_tree=buf.per_tree,
+            cum_rewards=buf.cum_rewards,
         )
         if self.tree is not None:
             # fresh samples get max priority (reference prob=10, :115)
@@ -99,7 +104,7 @@ class ReplayBuffer:
     def sample(self, buf: BufferState, key: jax.Array, batch_size: int
                ) -> Tuple[jax.Array, ...]:
         """Uniform sample of ``batch_size`` transitions; returns
-        (state, action, reward, undone, unmask, next_state)."""
+        (state, action, reward, undone, unmask, next_state, (ids0, ids1))."""
         sample_len = buf.size - 1
         ids = jax.random.randint(key, (batch_size,), 0, sample_len * self.num_seqs)
         ids0 = ids % sample_len
@@ -111,6 +116,7 @@ class ReplayBuffer:
             buf.undones[ids0, ids1],
             buf.unmasks[ids0, ids1],
             buf.states[ids0 + 1, ids1],
+            (ids0, ids1),
         )
 
     def sample_for_per(self, buf: BufferState, key: jax.Array, batch_size: int):
@@ -147,6 +153,15 @@ class ReplayBuffer:
         prob = jnp.power(jnp.clip(td_error, 1e-8, 10.0), self.per_alpha)
         tree = self.tree.update_scattered(buf.per_tree, ids0, ids1, prob)
         return buf._replace(per_tree=tree)
+
+    def update_cum_rewards(self, buf: BufferState, horizon_len: int,
+                           cum_rewards: jax.Array) -> BufferState:
+        """Write backward-discounted returns for the just-inserted span
+        (reference ``update_cum_rewards``, replay_buffer.py:213-223).
+        ``cum_rewards`` is (horizon_len, N) for the rows ending at ptr."""
+        idx = (buf.ptr - horizon_len + jnp.arange(horizon_len, dtype=jnp.int32)
+               ) % self.max_size
+        return buf._replace(cum_rewards=buf.cum_rewards.at[idx].set(cum_rewards))
 
     def save_or_load_history(self, buf: BufferState, cwd: str, if_save: bool
                              ) -> BufferState:

@@ -136,6 +136,9 @@ def build_training(args: Config, mesh=None) -> TrainContext:
             buf_state = rb.update(carry.buf_state, (
                 rollout.states, rollout.actions, rollout.rewards,
                 rollout.undones, rollout.unmasks))
+            if rb.if_use_cum_rewards and agent.cum_returns is not None:
+                returns = agent.cum_returns(carry.agent_state, rollout, obs)
+                buf_state = rb.update_cum_rewards(buf_state, horizon_len, returns)
             agent_state, buf_state, metrics = agent.update(
                 carry.agent_state, buf_state, k_upd)
         else:

@@ -44,7 +44,7 @@ def test_sample_next_state_alignment():
     items = (states, jnp.zeros((h, 2, 1)), jnp.zeros((h, 2)),
              jnp.ones((h, 2)), jnp.ones((h, 2)))
     buf = rb.update(buf, items)
-    s, a, r, u, m, ns = rb.sample(buf, jax.random.key(0), 128)
+    s, a, r, u, m, ns, ids = rb.sample(buf, jax.random.key(0), 128)
     s, ns = np.asarray(s)[:, 0], np.asarray(ns)[:, 0]
     np.testing.assert_allclose(ns, s + 10)  # next_state = states[ids0+1]
 
