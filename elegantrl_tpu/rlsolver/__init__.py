@@ -7,3 +7,5 @@ from .methods import (  # noqa: F401
     random_search, greedy_local_search, simulated_annealing,
 )
 from .mcpg import mcpg_solve  # noqa: F401
+from .mis import MISSimulator, greedy_mis  # noqa: F401
+from .isco import isco_solve  # noqa: F401

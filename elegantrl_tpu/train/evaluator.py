@@ -73,7 +73,8 @@ def make_eval_fn(env: EnvDef, greedy_action: Callable, num_episodes: int,
 
 
 class Evaluator:
-    def __init__(self, cwd: str, env: EnvDef, greedy_action: Callable, args):
+    def __init__(self, cwd: str, env: EnvDef, greedy_action: Callable, args,
+                 if_tensorboard: bool = False):
         self.cwd = cwd
         self.agent_id = int(getattr(args, 'gpu_id', 0))
         self.total_step = 0
@@ -92,6 +93,16 @@ class Evaluator:
         max_step = int(getattr(args, 'max_step', env.spec.max_step))
         self._eval_fn = make_eval_fn(env, greedy_action, self.eval_times, max_step)
         self._key = jax.random.key(int(getattr(args, 'random_seed', 0) or 0) + 1943)
+
+        # optional TensorBoard scalars (reference evaluator.py:50-54,81-92;
+        # off by default there too)
+        self.tensorboard = None
+        if if_tensorboard or bool(getattr(args, 'if_tensorboard', False)):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tensorboard = SummaryWriter(os.path.join(cwd, 'tensorboard'))
+            except ImportError:  # pragma: no cover
+                pass
 
         print("| Evaluator:"
               "\n| `step`: Number of samples (env.step() calls)."
@@ -121,14 +132,25 @@ class Evaluator:
         avg_s, std_s = float(ep_steps.mean()), float(ep_steps.std())
         used_time = int(time.time() - self.start_time)
         values = [v for v in logging_tuple if isinstance(v, (int, float))]
+        logging_str = logging_tuple[-1] if (logging_tuple and isinstance(
+            logging_tuple[-1], str)) else ''
 
         self.recorder.append((self.total_step, avg_r, std_r, exp_r, *values))
+        if self.tensorboard is not None:
+            self.tensorboard.add_scalar("reward/avg_reward_sample", avg_r, self.total_step)
+            self.tensorboard.add_scalar("reward/std_reward_sample", std_r, self.total_step)
+            self.tensorboard.add_scalar("reward/exp_reward_sample", exp_r, self.total_step)
+            if values:
+                self.tensorboard.add_scalar("info/critic_loss_sample", values[0], self.total_step)
+            if len(values) > 1:
+                self.tensorboard.add_scalar("info/actor_obj_sample", values[1], self.total_step)
 
         prev_max_r = self.max_r
         self.max_r = max(self.max_r, avg_r)
         print(f"{self.agent_id:<3}{self.total_step:8.2e}{used_time:8.0f} |"
               f"{avg_r:8.2f}{std_r:7.1f}{avg_s:7.0f}{std_s:6.0f} |"
-              f"{exp_r:8.2f}{''.join(f'{v:7.2f}' for v in values)}", flush=True)
+              f"{exp_r:8.2f}{''.join(f'{v:7.2f}' for v in values)}"
+              f"{logging_str}", flush=True)
 
         if not self.if_keep_save:
             return

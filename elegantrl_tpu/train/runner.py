@@ -146,6 +146,9 @@ def build_training(args: Config, mesh=None) -> TrainContext:
             agent_state, metrics = agent.update(
                 carry.agent_state, rollout, obs, k_upd)
         metrics = dict(metrics, exp_r=exp_r)
+        if agent.if_discrete:  # action histogram (reference run.py:92-98)
+            metrics['action_hist'] = jnp.bincount(
+                rollout.actions.reshape(-1), length=int(args.action_dim))
         return TrainCarry(agent_state, buf_state, env_state, obs, key), metrics
 
     carry = TrainCarry(agent_state, buf_state, env_state, obs, k_train)
@@ -189,10 +192,16 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
     if_train = True
     while if_train:
         carry, metrics = train_rounds(carry, rounds_per_eval)
+        action_hist = metrics.pop('action_hist', None)
         metrics = {k: float(np.mean(np.asarray(v))) for k, v in metrics.items()}
         total_step += steps_per_round * rounds_per_eval
         logging_tuple = (metrics.get('obj_critic', 0.0),
                          metrics.get('obj_actor', 0.0))
+        if action_hist is not None:
+            counts = np.asarray(action_hist).sum(0)
+            frac = counts / max(counts.sum(), 1)
+            logging_tuple = (*logging_tuple,
+                             ' a:' + ' '.join(f'{f:.2f}' for f in frac))
         evaluator.evaluate_and_save(
             carry.agent_state, steps=steps_per_round * rounds_per_eval,
             exp_r=metrics.get('exp_r', 0.0), logging_tuple=logging_tuple)

@@ -1,0 +1,131 @@
+"""Learning-verification suite: train every agent family on its reference
+benchmark env with a modest budget and record outcomes to RESULTS.md.
+
+Mirrors the reference's executable-regression style (examples/demo_*.py
+docstrings embed expected scores; SURVEY.md §4).  Run on TPU:
+
+    python scripts/verify_learning.py [quick]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, '.')
+
+import numpy as np
+
+from elegantrl_tpu.config import Config
+from elegantrl_tpu.agents import (
+    AgentPPO, AgentA2C, AgentDiscretePPO, AgentDQN, AgentDoubleDQN,
+    AgentD3QN, AgentEmbedDQN, AgentDDPG, AgentTD3, AgentSAC, AgentModSAC,
+)
+from elegantrl_tpu.envs import (
+    PendulumEnv, CartPoleEnv, LunarLanderContinuousEnv, LunarLanderEnv,
+    PointChasingVecEnv, StockTradingVecEnv,
+)
+from elegantrl_tpu.train.runner import train_agent
+
+QUICK = len(sys.argv) > 1 and sys.argv[1] == 'quick'
+SCALE = 0.25 if QUICK else 1.0
+
+
+def pendulum_args(agent_class, num_envs=16):
+    return {'env_class': PendulumEnv,
+            'env_args': {'env_name': 'Pendulum-v1', 'num_envs': num_envs,
+                         'max_step': 200, 'state_dim': 3, 'action_dim': 1,
+                         'if_discrete': False}}
+
+
+def cartpole_args(agent_class, num_envs=16):
+    return {'env_class': CartPoleEnv,
+            'env_args': {'env_name': 'CartPole-v1', 'num_envs': num_envs,
+                         'max_step': 500, 'state_dim': 4, 'action_dim': 2,
+                         'if_discrete': True}}
+
+
+def run(name, agent_class, env_kw, target, hp):
+    args = Config(agent_class, env_kw['env_class'], dict(env_kw['env_args']))
+    for k, v in hp.items():
+        setattr(args, k, v)
+    args.break_step = int(args.break_step * SCALE)
+    args.cwd = f'/tmp/verify_{name}'
+    args.eval_times = 16
+    t0 = time.time()
+    r = train_agent(args)
+    ok = r['max_r'] >= target
+    row = {'name': name, 'agent': agent_class.__name__,
+           'env': env_kw['env_args']['env_name'],
+           'max_r': round(r['max_r'], 1), 'target': target,
+           'steps': r['total_step'], 'seconds': round(time.time() - t0, 1),
+           'steps_per_s': round(r['steps_per_second']), 'ok': ok}
+    print(f"| verify {name}: {'PASS' if ok else 'MISS'} "
+          f"max_r={row['max_r']} target={target} "
+          f"({row['seconds']}s, {row['steps_per_s']} sps)", flush=True)
+    return row
+
+
+ONPOL_PEND = dict(net_dims=(64, 64), gamma=0.97, horizon_len=400,
+                  repeat_times=32, learning_rate=4e-4, batch_size=128,
+                  eval_per_step=int(2e4), break_step=int(1.2e5))
+OFFPOL_PEND = dict(net_dims=(128, 64), gamma=0.97, horizon_len=64,
+                   buffer_size=int(1e5), batch_size=256, repeat_times=1.0,
+                   learning_rate=6e-4, reward_scale=2 ** -1,
+                   eval_per_step=int(1e4), break_step=int(1e5))
+DQN_CART = dict(net_dims=(128, 128), horizon_len=64, buffer_size=int(1e5),
+                batch_size=64, learning_rate=1e-3,
+                eval_per_step=int(1e4), break_step=int(1e5))
+
+
+def main():
+    rows = []
+    rows.append(run('ppo_pendulum', AgentPPO, pendulum_args(AgentPPO), -250, ONPOL_PEND))
+    rows.append(run('a2c_pendulum', AgentA2C, pendulum_args(AgentA2C), -600,
+                    dict(ONPOL_PEND, learning_rate=2e-4)))
+    rows.append(run('ddpg_pendulum', AgentDDPG, pendulum_args(AgentDDPG), -250, OFFPOL_PEND))
+    rows.append(run('td3_pendulum', AgentTD3, pendulum_args(AgentTD3), -250, OFFPOL_PEND))
+    rows.append(run('sac_pendulum', AgentSAC, pendulum_args(AgentSAC), -250, OFFPOL_PEND))
+    rows.append(run('modsac_pendulum', AgentModSAC, pendulum_args(AgentModSAC), -250, OFFPOL_PEND))
+    rows.append(run('dqn_cartpole', AgentDQN, cartpole_args(AgentDQN), 400, DQN_CART))
+    rows.append(run('doubledqn_cartpole', AgentDoubleDQN, cartpole_args(AgentDoubleDQN), 400, DQN_CART))
+    rows.append(run('d3qn_cartpole', AgentD3QN, cartpole_args(AgentD3QN), 400, DQN_CART))
+    rows.append(run('embeddqn_cartpole', AgentEmbedDQN, cartpole_args(AgentEmbedDQN), 300, DQN_CART))
+    rows.append(run('discreteppo_cartpole', AgentDiscretePPO, cartpole_args(AgentDiscretePPO), 400,
+                    dict(net_dims=(64, 64), horizon_len=128, repeat_times=16,
+                         learning_rate=6e-4, batch_size=256,
+                         eval_per_step=int(2e4), break_step=int(2e5))))
+    rows.append(run('ppo_lunarlander_cont', AgentPPO,
+                    {'env_class': LunarLanderContinuousEnv,
+                     'env_args': {'env_name': 'LunarLanderContinuous-v2',
+                                  'num_envs': 64, 'max_step': 1000,
+                                  'state_dim': 8, 'action_dim': 2,
+                                  'if_discrete': False}}, 150,
+                    dict(net_dims=(128, 128), gamma=0.99, horizon_len=256,
+                         repeat_times=16, learning_rate=3e-4, batch_size=512,
+                         eval_per_step=int(4e5), break_step=int(5e6))))
+    rows.append(run('ppo_stock', AgentPPO,
+                    {'env_class': StockTradingVecEnv,
+                     'env_args': {'env_name': 'StockTradingEnv-v2',
+                                  'num_envs': 256, 'max_step': 1112,
+                                  'state_dim': 151, 'action_dim': 15,
+                                  'if_discrete': False}}, 0.0,
+                    dict(net_dims=(128, 128), gamma=0.99, horizon_len=128,
+                         repeat_times=8, learning_rate=2e-4, batch_size=512,
+                         eval_per_step=int(4e5), break_step=int(2e6))))
+
+    with open('RESULTS.md', 'w') as f:
+        f.write("# Learning verification results (real TPU, driver-style run)\n\n")
+        f.write("Generated by `scripts/verify_learning.py`. `target` values are\n"
+                "conservative pass thresholds derived from the reference's\n"
+                "expected-score docstrings (see BASELINE.md).\n\n")
+        f.write("| config | agent | env | max avgR | target | steps | time (s) | env-steps/s | pass |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r['name']} | {r['agent']} | {r['env']} | {r['max_r']} "
+                    f"| {r['target']} | {r['steps']:.1e} | {r['seconds']} "
+                    f"| {r['steps_per_s']} | {'PASS' if r['ok'] else 'MISS'} |\n")
+    n_pass = sum(r['ok'] for r in rows)
+    print(f"| verify_learning: {n_pass}/{len(rows)} PASS -> RESULTS.md", flush=True)
+
+
+if __name__ == '__main__':
+    main()

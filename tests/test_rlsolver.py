@@ -64,6 +64,30 @@ def test_mcpg_solves_small_graph():
     assert obj >= 0.9 * float(ls_obj)
 
 
+def test_mis_on_known_graphs():
+    from elegantrl_tpu.rlsolver import MISSimulator, greedy_mis
+    # star K1,5: MIS = the 5 leaves
+    star = np.array([[0, i, 1.0] for i in range(1, 6)])
+    sim = MISSimulator(star, 6)
+    obj, x = greedy_mis(sim, jax.random.key(0), num_sims=64)
+    assert float(obj) == 5.0 and float(x[0]) == 0.0
+    # K3,3: MIS = 3 (one side)
+    sim2 = MISSimulator(K33, 6)
+    obj2, x2 = greedy_mis(sim2, jax.random.key(1), num_sims=64)
+    assert float(obj2) == 3.0
+    assert float(sim2.num_conflicts(x2[None])[0]) == 0.0
+
+
+def test_isco_matches_or_beats_sa_on_maxcut():
+    from elegantrl_tpu.rlsolver import isco_solve
+    edges = generate_graph('BA', 60, seed=5, avg_degree=6)
+    sim = MaxCutSimulator(edges, 60)
+    r_obj, _ = random_search(sim, jax.random.key(0), num_sims=256, num_rounds=2)
+    i_obj, i_x = isco_solve(sim, jax.random.key(1), num_sims=256, num_steps=128)
+    assert float(i_obj) >= float(r_obj)
+    np.testing.assert_allclose(float(sim.obj(i_x[None])[0]), float(i_obj))
+
+
 def test_graph_txt_roundtrip(tmp_path):
     edges = generate_graph('ER', 12, seed=4)
     p = str(tmp_path / 'g.txt')
