@@ -67,51 +67,57 @@ def run(name, agent_class, env_kw, target, hp):
 ONPOL_PEND = dict(net_dims=(64, 64), gamma=0.97, horizon_len=400,
                   repeat_times=32, learning_rate=4e-4, batch_size=128,
                   eval_per_step=int(2e4), break_step=int(1.2e5))
-OFFPOL_PEND = dict(net_dims=(128, 64), gamma=0.97, horizon_len=64,
-                   buffer_size=int(1e5), batch_size=256, repeat_times=1.0,
-                   learning_rate=6e-4, reward_scale=2 ** -1,
-                   eval_per_step=int(1e4), break_step=int(1e5))
+# the reference demo's own recipe (demo_DDPG_TD3_SAC.py:31-40); its curves
+# dip until ~1e5 steps then solve by ~1.5-2e5
+OFFPOL_PEND = dict(net_dims=(64, 64), gamma=0.97, horizon_len=100,
+                   buffer_size=int(1e6), batch_size=256, repeat_times=1.0,
+                   learning_rate=5e-4,
+                   eval_per_step=int(2e4), break_step=int(2e5))
 DQN_CART = dict(net_dims=(128, 128), horizon_len=64, buffer_size=int(1e5),
                 batch_size=64, learning_rate=1e-3,
                 eval_per_step=int(1e4), break_step=int(1e5))
 
 
-def main():
-    rows = []
-    rows.append(run('ppo_pendulum', AgentPPO, pendulum_args(AgentPPO), -250, ONPOL_PEND))
-    rows.append(run('a2c_pendulum', AgentA2C, pendulum_args(AgentA2C), -600,
-                    dict(ONPOL_PEND, learning_rate=2e-4)))
-    rows.append(run('ddpg_pendulum', AgentDDPG, pendulum_args(AgentDDPG), -250, OFFPOL_PEND))
-    rows.append(run('td3_pendulum', AgentTD3, pendulum_args(AgentTD3), -250, OFFPOL_PEND))
-    rows.append(run('sac_pendulum', AgentSAC, pendulum_args(AgentSAC), -250, OFFPOL_PEND))
-    rows.append(run('modsac_pendulum', AgentModSAC, pendulum_args(AgentModSAC), -250, OFFPOL_PEND))
-    rows.append(run('dqn_cartpole', AgentDQN, cartpole_args(AgentDQN), 400, DQN_CART))
-    rows.append(run('doubledqn_cartpole', AgentDoubleDQN, cartpole_args(AgentDoubleDQN), 400, DQN_CART))
-    rows.append(run('d3qn_cartpole', AgentD3QN, cartpole_args(AgentD3QN), 400, DQN_CART))
-    rows.append(run('embeddqn_cartpole', AgentEmbedDQN, cartpole_args(AgentEmbedDQN), 300, DQN_CART))
-    rows.append(run('discreteppo_cartpole', AgentDiscretePPO, cartpole_args(AgentDiscretePPO), 400,
-                    dict(net_dims=(64, 64), horizon_len=128, repeat_times=16,
-                         learning_rate=6e-4, batch_size=256,
-                         eval_per_step=int(2e4), break_step=int(2e5))))
-    rows.append(run('ppo_lunarlander_cont', AgentPPO,
-                    {'env_class': LunarLanderContinuousEnv,
-                     'env_args': {'env_name': 'LunarLanderContinuous-v2',
-                                  'num_envs': 64, 'max_step': 1000,
-                                  'state_dim': 8, 'action_dim': 2,
-                                  'if_discrete': False}}, 150,
-                    dict(net_dims=(128, 128), gamma=0.99, horizon_len=256,
-                         repeat_times=16, learning_rate=3e-4, batch_size=512,
-                         eval_per_step=int(4e5), break_step=int(5e6))))
-    rows.append(run('ppo_stock', AgentPPO,
-                    {'env_class': StockTradingVecEnv,
-                     'env_args': {'env_name': 'StockTradingEnv-v2',
-                                  'num_envs': 256, 'max_step': 1112,
-                                  'state_dim': 151, 'action_dim': 15,
-                                  'if_discrete': False}}, 0.0,
-                    dict(net_dims=(128, 128), gamma=0.99, horizon_len=128,
-                         repeat_times=8, learning_rate=2e-4, batch_size=512,
-                         eval_per_step=int(4e5), break_step=int(2e6))))
+CONFIGS = {
+    'ppo_pendulum': (AgentPPO, pendulum_args(AgentPPO), -250, ONPOL_PEND),
+    'a2c_pendulum': (AgentA2C, pendulum_args(AgentA2C), -600,
+                     dict(ONPOL_PEND, learning_rate=2e-4)),
+    'ddpg_pendulum': (AgentDDPG, pendulum_args(AgentDDPG, 8), -200, OFFPOL_PEND),
+    'td3_pendulum': (AgentTD3, pendulum_args(AgentTD3, 8), -150, OFFPOL_PEND),
+    'sac_pendulum': (AgentSAC, pendulum_args(AgentSAC, 8), -200, OFFPOL_PEND),
+    'modsac_pendulum': (AgentModSAC, pendulum_args(AgentModSAC, 8), -200, OFFPOL_PEND),
+    'dqn_cartpole': (AgentDQN, cartpole_args(AgentDQN), 400, DQN_CART),
+    'doubledqn_cartpole': (AgentDoubleDQN, cartpole_args(AgentDoubleDQN), 400, DQN_CART),
+    'd3qn_cartpole': (AgentD3QN, cartpole_args(AgentD3QN), 400, DQN_CART),
+    'embeddqn_cartpole': (AgentEmbedDQN, cartpole_args(AgentEmbedDQN), 300, DQN_CART),
+    'discreteppo_cartpole': (AgentDiscretePPO, cartpole_args(AgentDiscretePPO), 400,
+                             dict(net_dims=(64, 64), horizon_len=128, repeat_times=16,
+                                  learning_rate=6e-4, batch_size=256,
+                                  eval_per_step=int(2e4), break_step=int(2e5))),
+    'ppo_lunarlander_cont': (AgentPPO,
+                             {'env_class': LunarLanderContinuousEnv,
+                              'env_args': {'env_name': 'LunarLanderContinuous-v2',
+                                           'num_envs': 64, 'max_step': 1000,
+                                           'state_dim': 8, 'action_dim': 2,
+                                           'if_discrete': False}}, 150,
+                             dict(net_dims=(128, 128), gamma=0.99, horizon_len=256,
+                                  repeat_times=16, learning_rate=3e-4, batch_size=512,
+                                  eval_per_step=int(4e5), break_step=int(5e6))),
+    'ppo_stock': (AgentPPO,
+                  {'env_class': StockTradingVecEnv,
+                   'env_args': {'env_name': 'StockTradingEnv-v2',
+                                'num_envs': 256, 'max_step': 1112,
+                                'state_dim': 151, 'action_dim': 15,
+                                'if_discrete': False}}, 0.0,
+                  dict(net_dims=(128, 128), gamma=0.99, horizon_len=128,
+                       repeat_times=8, learning_rate=2e-4, batch_size=512,
+                       eval_per_step=int(4e5), break_step=int(2e6))),
+}
 
+ROWS_PATH = '/tmp/verify_rows.jsonl'
+
+
+def write_results(rows):
     with open('RESULTS.md', 'w') as f:
         f.write("# Learning verification results (real TPU, driver-style run)\n\n")
         f.write("Generated by `scripts/verify_learning.py`. `target` values are\n"
@@ -125,6 +131,25 @@ def main():
                     f"| {r['steps_per_s']} | {'PASS' if r['ok'] else 'MISS'} |\n")
     n_pass = sum(r['ok'] for r in rows)
     print(f"| verify_learning: {n_pass}/{len(rows)} PASS -> RESULTS.md", flush=True)
+
+
+def main():
+    import json
+    if '--only' in sys.argv:  # run one config, append a JSON row
+        name = sys.argv[sys.argv.index('--only') + 1]
+        row = run(name, *CONFIGS[name])
+        with open(ROWS_PATH, 'a') as f:
+            f.write(json.dumps(row) + '\n')
+    elif '--collect' in sys.argv:  # merge rows -> RESULTS.md
+        by_name = {}
+        with open(ROWS_PATH) as f:
+            for line in f:
+                r = json.loads(line)
+                by_name[r['name']] = r         # keep the LAST row per config
+        write_results(list(by_name.values()))
+    else:
+        rows = [run(name, *cfg) for name, cfg in CONFIGS.items()]
+        write_results(rows)
 
 
 if __name__ == '__main__':
