@@ -172,7 +172,14 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
     carry = ctx.carry
     steps_per_round = ctx.steps_per_round
 
-    @partial(jax.jit, static_argnums=1, donate_argnums=0)
+    # Buffer donation halves peak memory for off-policy training, but the
+    # experimental tunneled-TPU ('axon') runtime deadlocks on some donated
+    # programs (verified: identical program completes in ~60 ms undonated,
+    # never completes donated).  Off by default; enable with
+    # ``args.donate_carry = True`` on standard PJRT backends.
+    donate = (0,) if bool(getattr(args, 'donate_carry', False)) else ()
+
+    @partial(jax.jit, static_argnums=1, donate_argnums=donate)
     def train_rounds(carry: TrainCarry, n_rounds: int):
         return jax.lax.scan(round_fn, carry, None, length=n_rounds)
 
