@@ -7,7 +7,7 @@ target, replay ring — the whole round fused into one XLA program.
 
 Run:  python helloworld/helloworld_SAC_single_file.py
 Expected: Pendulum avgR rises from ~-1200 to better than -250 within
-~5e4 env steps.
+~2e5 env steps (the same dip-then-solve curve as the reference demo).
 """
 
 import time
@@ -67,9 +67,9 @@ def mlp(params, x):
     return x
 
 
-HP = dict(num_envs=16, horizon=64, gamma=0.97, lr=3e-4, batch=128,
-          buf=30_000, tau=5e-3, net=(128, 64), total=int(1.6e5),
-          reward_scale=0.5, target_entropy=-1.0)
+HP = dict(num_envs=8, horizon=100, gamma=0.97, lr=5e-4, batch=256,
+          buf=200_000, tau=5e-3, net=(64, 64), total=int(2e5),
+          reward_scale=1.0, target_entropy=0.0)
 OPT = optax.chain(optax.clip_by_global_norm(3.0), optax.adam(HP['lr']))
 A_OPT = optax.adam(HP['lr'])
 
@@ -168,7 +168,7 @@ def train_round(carry: Carry, _):
         actor = optax.apply_updates(actor, up)
         return actor, critic, critic_tgt, a_opt, c_opt, alpha_log, al_opt
 
-    n_upd = jnp.maximum(buf[5] * HP['num_envs'] // (HP['batch'] * 4), 4)
+    n_upd = jnp.maximum(buf[5] * HP['num_envs'] // HP['batch'], 4)
     actor, critic, critic_tgt, a_opt, c_opt, alpha_log, al_opt = jax.lax.fori_loop(
         0, n_upd, sgd_body, (carry.actor, carry.critic, carry.critic_tgt,
                              carry.a_opt, carry.c_opt, carry.alpha_log,
@@ -217,7 +217,7 @@ def main():
         steps = (i + 1) * (rounds // 8) * HP['horizon'] * n
         print(f"step {steps:8d}  time {time.time()-t0:6.1f}s  avgR {avg_r:8.1f}",
               flush=True)
-    assert best > -300, f"SAC helloworld failed to learn (best {best})"
+    assert best > -250, f"SAC helloworld failed to learn (best {best})"
     print("helloworld SAC: learned. Twin critics + auto-alpha in one program.")
 
 
