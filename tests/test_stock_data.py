@@ -1,0 +1,37 @@
+"""Stock env dataset loading: reference npz format compatibility."""
+import numpy as np
+import jax
+
+from elegantrl_tpu.envs.stock_trading import (
+    load_market_data, make_stock_trading, synthetic_market_data)
+from elegantrl_tpu.envs import vec_reset, vec_step
+
+
+def test_loads_reference_format_npz(tmp_path):
+    # the reference dataset is an npz with close_ary (T, S) and tech_ary (T, K)
+    # (StockTradingEnv.load_data_from_disk, StockTradingEnv.py:108-111)
+    close = np.random.default_rng(0).uniform(5, 50, (100, 7)).astype(np.float32)
+    tech = np.random.default_rng(1).normal(size=(100, 56)).astype(np.float32)
+    p = str(tmp_path / 'China_A_shares.numpy.npz')
+    np.savez_compressed(p, close_ary=close, tech_ary=tech)
+
+    c2, t2 = load_market_data(p)
+    np.testing.assert_allclose(c2, close)
+    np.testing.assert_allclose(t2, tech)
+
+    env = make_stock_trading(beg_idx=0, end_idx=100, npz_path=p)
+    assert env.spec.action_dim == 7
+    assert env.spec.max_step == 99
+    assert env.spec.state_dim == 1 + 7 + 7 + 56
+    state, obs = vec_reset(env, jax.random.key(0), 2)
+    state, obs, r, term, trunc = vec_step(
+        env, state, np.ones((2, 7), np.float32), jax.random.key(1))
+    assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_synthetic_data_deterministic():
+    c1, t1 = synthetic_market_data()
+    c2, t2 = synthetic_market_data()
+    np.testing.assert_array_equal(c1, c2)
+    assert c1.shape == (1113, 15) and t1.shape == (1113, 120)
+    assert (c1 > 0).all()
