@@ -73,9 +73,9 @@ OFFPOL_PEND = dict(net_dims=(64, 64), gamma=0.97, horizon_len=100,
                    buffer_size=int(1e6), batch_size=256, repeat_times=1.0,
                    learning_rate=5e-4,
                    eval_per_step=int(2e4), break_step=int(2e5))
-DQN_CART = dict(net_dims=(128, 128), horizon_len=64, buffer_size=int(1e5),
+DQN_CART = dict(net_dims=(128, 128), horizon_len=64, buffer_size=int(2e5),
                 batch_size=64, learning_rate=1e-3,
-                eval_per_step=int(1e4), break_step=int(1e5))
+                eval_per_step=int(2e4), break_step=int(2e5))
 
 
 CONFIGS = {
@@ -89,10 +89,10 @@ CONFIGS = {
     'td3_pendulum': (AgentTD3, pendulum_args(AgentTD3, 8), -150, OFFPOL_PEND),
     'sac_pendulum': (AgentSAC, pendulum_args(AgentSAC, 8), -200, OFFPOL_PEND),
     'modsac_pendulum': (AgentModSAC, pendulum_args(AgentModSAC, 8), -200, OFFPOL_PEND),
-    'dqn_cartpole': (AgentDQN, cartpole_args(AgentDQN), 400, DQN_CART),
-    'doubledqn_cartpole': (AgentDoubleDQN, cartpole_args(AgentDoubleDQN), 400, DQN_CART),
-    'd3qn_cartpole': (AgentD3QN, cartpole_args(AgentD3QN), 400, DQN_CART),
-    'embeddqn_cartpole': (AgentEmbedDQN, cartpole_args(AgentEmbedDQN), 300, DQN_CART),
+    'dqn_cartpole': (AgentDQN, cartpole_args(AgentDQN), 300, DQN_CART),
+    'doubledqn_cartpole': (AgentDoubleDQN, cartpole_args(AgentDoubleDQN), 300, DQN_CART),
+    'd3qn_cartpole': (AgentD3QN, cartpole_args(AgentD3QN), 300, DQN_CART),
+    'embeddqn_cartpole': (AgentEmbedDQN, cartpole_args(AgentEmbedDQN), 250, DQN_CART),
     'discreteppo_cartpole': (AgentDiscretePPO, cartpole_args(AgentDiscretePPO), 400,
                              dict(net_dims=(64, 64), horizon_len=128, repeat_times=16,
                                   learning_rate=6e-4, batch_size=256,
