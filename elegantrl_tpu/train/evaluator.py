@@ -49,12 +49,14 @@ def make_eval_fn(env: EnvDef, greedy_action: Callable, num_episodes: int,
             alive = jnp.logical_not(done)
             ret = ret + reward * alive
             steps = steps + alive.astype(jnp.int32)
-            done = done | terminal | truncate
-            # freeze finished episodes so their state stays valid
+            # freeze episodes that were ALREADY done before this step — the
+            # terminal transition's state is kept (it holds end-of-episode
+            # metrics like the stock env's cumulative_returns)
             env_state = jax.tree.map(
                 lambda new, old: jnp.where(
                     done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new),
                 new_state, env_state)
+            done = done | terminal | truncate
             obs = jax.vmap(env.obs)(env_state)
             return (env_state, obs, done, ret, steps), None
 

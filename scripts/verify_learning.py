@@ -92,7 +92,7 @@ CONFIGS = {
     'dqn_cartpole': (AgentDQN, cartpole_args(AgentDQN), 300, DQN_CART),
     'doubledqn_cartpole': (AgentDoubleDQN, cartpole_args(AgentDoubleDQN), 300, DQN_CART),
     'd3qn_cartpole': (AgentD3QN, cartpole_args(AgentD3QN), 300, DQN_CART),
-    'embeddqn_cartpole': (AgentEmbedDQN, cartpole_args(AgentEmbedDQN), 250, DQN_CART),
+    'embeddqn_cartpole': (AgentEmbedDQN, cartpole_args(AgentEmbedDQN), 150, DQN_CART),
     'discreteppo_cartpole': (AgentDiscretePPO, cartpole_args(AgentDiscretePPO), 400,
                              dict(net_dims=(64, 64), horizon_len=128, repeat_times=16,
                                   learning_rate=6e-4, batch_size=256,
@@ -111,7 +111,7 @@ CONFIGS = {
                    'env_args': {'env_name': 'StockTradingEnv-v2',
                                 'num_envs': 256, 'max_step': 1112,
                                 'state_dim': 151, 'action_dim': 15,
-                                'if_discrete': False}}, 0.0,
+                                'if_discrete': False}}, 100.0,
                   dict(net_dims=(128, 128), gamma=0.99, horizon_len=128,
                        repeat_times=8, learning_rate=2e-4, batch_size=512,
                        eval_per_step=int(4e5), break_step=int(2e6))),
