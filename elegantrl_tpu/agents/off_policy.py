@@ -22,6 +22,9 @@ import jax
 import jax.numpy as jnp
 
 
+_CHUNK = 16  # SGD steps per while-loop iteration (see note below)
+
+
 def make_offpolicy_update(batch_size: int, repeat_times: float,
                           objectives_fn: Callable) -> Callable:
     def update(agent_state, buf_state, key):
@@ -29,16 +32,31 @@ def make_offpolicy_update(batch_size: int, repeat_times: float,
             (buf_state.size.astype(jnp.float32) * repeat_times
              / batch_size).astype(jnp.int32), 1)
 
-        def body(i, carry):
-            agent_state, buf_state, sums = carry
-            k = jax.random.fold_in(key, i)
-            agent_state, buf_state, (obj_c, obj_a, a_upd) = objectives_fn(
-                agent_state, buf_state, k, i)
-            sums = sums + jnp.stack([obj_c, obj_a * a_upd, a_upd])
-            return agent_state, buf_state, sums
+        # Two-level loop: an outer dynamic-bound fori over chunks of _CHUNK
+        # statically-scanned SGD steps, each guarded by ``i < update_times``.
+        # Bitwise-identical to a flat fori (same per-index rng, same count)
+        # but with 16x fewer while-loop trips — dynamic while iterations are
+        # far more expensive than scan iterations on some runtimes.
+        def inner(carry, i):
+            def do(carry):
+                agent_state, buf_state, sums = carry
+                k = jax.random.fold_in(key, i)
+                agent_state, buf_state, (obj_c, obj_a, a_upd) = objectives_fn(
+                    agent_state, buf_state, k, i)
+                sums = sums + jnp.stack([obj_c, obj_a * a_upd, a_upd])
+                return agent_state, buf_state, sums
 
+            carry = jax.lax.cond(i < update_times, do, lambda c: c, carry)
+            return carry, None
+
+        def chunk_body(ci, carry):
+            idx = ci * _CHUNK + jnp.arange(_CHUNK)
+            carry, _ = jax.lax.scan(inner, carry, idx)
+            return carry
+
+        n_chunks = (update_times + _CHUNK - 1) // _CHUNK
         agent_state, buf_state, sums = jax.lax.fori_loop(
-            0, update_times, body, (agent_state, buf_state, jnp.zeros(3)))
+            0, n_chunks, chunk_body, (agent_state, buf_state, jnp.zeros(3)))
         n = update_times.astype(jnp.float32)
         metrics = {'obj_critic': sums[0] / n,
                    'obj_actor': sums[1] / jnp.maximum(sums[2], 1.0)}
