@@ -20,9 +20,9 @@ functional JAX-first architecture underneath.
 
 __version__ = "0.1.0"
 
-from .config import Config  # noqa: F401
-
-try:  # runner lands after the ops/env layers during bootstrap
-    from .train.runner import train_agent  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+from .config import Config, build_env, get_gym_env_args  # noqa: F401
+from .train.runner import (  # noqa: F401
+    train_agent, train_agent_single_process, train_agent_multiprocessing,
+    train_agent_multiprocessing_multi_gpu, valid_agent, render_agent,
+)
+from . import agents, envs, ops, parallel, rlsolver, train, utils  # noqa: F401
