@@ -88,6 +88,15 @@ def test_isco_matches_or_beats_sa_on_maxcut():
     np.testing.assert_allclose(float(sim.obj(i_x[None])[0]), float(i_obj))
 
 
+def test_s2v_dqn_learns_to_cut():
+    from elegantrl_tpu.rlsolver import s2v_dqn_solve
+    sim = MaxCutSimulator(K33, 6)   # optimum 9
+    obj, x = s2v_dqn_solve(sim, jax.random.key(0), num_epochs=25,
+                           embed_dim=16, num_sims=32, horizon=12)
+    assert obj >= 8.0, obj  # finds (near-)optimal bipartition
+    np.testing.assert_allclose(float(sim.obj(x[None])[0]), obj)
+
+
 def test_graph_txt_roundtrip(tmp_path):
     edges = generate_graph('ER', 12, seed=4)
     p = str(tmp_path / 'g.txt')
