@@ -59,10 +59,17 @@ class EnvDef(NamedTuple):
     # evaluator prefers ``env.cumulative_returns`` when present,
     # evaluator.py:195-196) — e.g. the stock env's cumulative return
     episode_return: Any = None
+    # batched=True: init/step operate on the WHOLE batch themselves
+    # (host-callback envs, envs/host_env.py) —
+    #   init(key, num_envs) -> (state, obs)
+    #   step(state, actions, key) -> (state, obs, rewards, terminals, truncates)
+    batched: bool = False
 
 
 def vec_reset(env: EnvDef, key: PRNGKey, num_envs: int) -> Tuple[EnvState, jax.Array]:
     """Initialise ``num_envs`` instances; returns (batched_state, obs)."""
+    if env.batched:
+        return env.init(key, num_envs)
     keys = jax.random.split(key, num_envs)
     state = jax.vmap(env.init)(keys)
     obs = jax.vmap(env.obs)(state)
@@ -78,6 +85,8 @@ def vec_step(env: EnvDef, state: EnvState, actions: jax.Array, key: PRNGKey
     the reference's vectorized envs, which return the reset state from
     ``step`` (``PointChasingEnv.py:163-172``).
     """
+    if env.batched:
+        return env.step(state, actions, key)
     num_envs = jax.tree.leaves(state)[0].shape[0]
     key_step, key_reset = jax.random.split(key)
     step_keys = jax.random.split(key_step, num_envs)

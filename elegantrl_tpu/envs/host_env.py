@@ -1,0 +1,91 @@
+"""Host-environment escape hatch: run arbitrary gymnasium envs inside the
+fused training loop via ``io_callback``.
+
+The pure-JAX envs carry the throughput story; this adapter covers parity
+cases the reference reaches through gym (Box2D LunarLander, MuJoCo Hopper —
+SURVEY.md §7 "hard parts" item 5) when those packages are installed.  Each
+batched ``step`` is one ordered host callback driving a pool of gym envs;
+auto-reset happens host-side like the reference's single-env explore path
+(AgentBase.py:109-113).  Orders of magnitude slower than pure-JAX envs —
+use for parity/regression checks, not throughput.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.experimental
+import jax.numpy as jnp
+import numpy as np
+
+from .base import EnvDef, EnvSpec
+
+
+class _HostPool:
+    """A lazily-built pool of stateful gym envs, stepped as one batch."""
+
+    def __init__(self, env_fn: Callable, seed: int):
+        self.env_fn = env_fn
+        self.seed = seed
+        self.envs = None
+        self.obs = None
+
+    def _ensure(self, num_envs: int):
+        if self.envs is None or len(self.envs) != num_envs:
+            self.envs = [self.env_fn() for _ in range(num_envs)]
+            self.obs = np.stack([
+                e.reset(seed=self.seed + i)[0]
+                for i, e in enumerate(self.envs)]).astype(np.float32)
+
+    def reset_all(self, num_envs_arr):
+        self._ensure(int(num_envs_arr))
+        for i, e in enumerate(self.envs):
+            self.obs[i] = e.reset()[0]
+        return self.obs.copy()
+
+    def step(self, actions):
+        self._ensure(actions.shape[0])
+        n = len(self.envs)
+        rewards = np.zeros(n, np.float32)
+        terminals = np.zeros(n, bool)
+        truncates = np.zeros(n, bool)
+        for i, e in enumerate(self.envs):
+            a = np.asarray(actions[i])
+            obs, r, term, trunc, _ = e.step(a.item() if a.ndim == 0 else a)
+            if term or trunc:  # auto-reset, reference AgentBase.py:111-113
+                obs, _ = e.reset()
+            self.obs[i] = np.asarray(obs, np.float32)
+            rewards[i] = r
+            terminals[i] = term
+            truncates[i] = trunc
+        return self.obs.copy(), rewards, terminals, truncates
+
+
+def make_host_env(env_fn: Callable, spec: EnvSpec, seed: int = 0) -> EnvDef:
+    """Wrap ``env_fn() -> gym.Env`` as a *batched* EnvDef (``batched=True``):
+    init/step run on the host for the whole batch via ordered io_callback."""
+    pool = _HostPool(env_fn, seed)
+
+    def init(key, num_envs: int):
+        del key
+        obs = jax.experimental.io_callback(
+            pool.reset_all,
+            jax.ShapeDtypeStruct((num_envs, spec.state_dim), jnp.float32),
+            jnp.asarray(num_envs, jnp.int32), ordered=True)
+        return jnp.zeros(num_envs, jnp.int32), obs  # device state = dummy
+
+    def step(state, actions, key):
+        del key
+        num_envs = actions.shape[0]
+        out_shapes = (
+            jax.ShapeDtypeStruct((num_envs, spec.state_dim), jnp.float32),
+            jax.ShapeDtypeStruct((num_envs,), jnp.float32),
+            jax.ShapeDtypeStruct((num_envs,), jnp.bool_),
+            jax.ShapeDtypeStruct((num_envs,), jnp.bool_),
+        )
+        obs, rewards, terminals, truncates = jax.experimental.io_callback(
+            pool.step, out_shapes, actions, ordered=True)
+        return state, obs, rewards, terminals, truncates
+
+    return EnvDef(spec=spec, init=init, obs=None, step=step, batched=True)

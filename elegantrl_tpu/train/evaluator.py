@@ -34,6 +34,30 @@ def make_eval_fn(env: EnvDef, greedy_action: Callable, num_episodes: int,
     """Build a jitted fn (agent_state, key) -> (returns, steps) running
     ``num_episodes`` parallel greedy episodes to their first done."""
 
+    if env.batched:  # host-callback envs: batch-level step, no state freeze
+        def eval_fn_batched(agent_state, key):
+            k_init, k_run = jax.random.split(key)
+            env_state, obs = env.init(k_init, num_episodes)
+
+            def body(carry, key_t):
+                env_state, obs, done, ret, steps = carry
+                action = greedy_action(agent_state, obs)
+                env_state, obs, reward, terminal, truncate = env.step(
+                    env_state, action, key_t)
+                alive = jnp.logical_not(done)
+                ret = ret + reward * alive
+                steps = steps + alive.astype(jnp.int32)
+                done = done | terminal | truncate
+                return (env_state, obs, done, ret, steps), None
+
+            init = (env_state, obs, jnp.zeros(num_episodes, jnp.bool_),
+                    jnp.zeros(num_episodes), jnp.zeros(num_episodes, jnp.int32))
+            (_, _, _, ret, steps), _ = jax.lax.scan(
+                body, init, jax.random.split(k_run, max_step))
+            return ret, steps
+
+        return jax.jit(eval_fn_batched)
+
     def eval_fn(agent_state, key):
         k_init, k_run = jax.random.split(key)
         init_keys = jax.random.split(k_init, num_episodes)
