@@ -16,24 +16,26 @@ AGENTS = {'ddpg': AgentDDPG, 'td3': AgentTD3, 'sac': AgentSAC,
           'modsac': AgentModSAC}
 
 
-def train_for_pendulum(agent_class=AgentModSAC, num_envs: int = 16,
+def train_for_pendulum(agent_class=AgentModSAC, num_envs: int = 8,
                        if_use_per: bool = False):
+    """Verified on TPU (RESULTS.md): DDPG -75.2, TD3 -80.8, SAC -119.1,
+    ModSAC -84.2 within 2.2e5 steps — the reference demo's own recipe
+    (demo_DDPG_TD3_SAC.py:31-40); its curves dip until ~1e5 steps."""
     env_args = {'env_name': 'Pendulum-v1', 'num_envs': num_envs,
                 'max_step': 200, 'state_dim': 3, 'action_dim': 1,
                 'if_discrete': False}
     args = Config(agent_class, PendulumEnv, env_args)
-    args.break_step = int(1e5)
-    args.net_dims = (128, 64)
+    args.break_step = int(2e5)
+    args.net_dims = (64, 64)
     args.gamma = 0.97
-    args.horizon_len = 64
-    args.buffer_size = int(2e5)
+    args.horizon_len = 100
+    args.buffer_size = int(1e6)
     args.batch_size = 256
     args.repeat_times = 1.0
-    args.learning_rate = 6e-4
-    args.reward_scale = 2 ** -1
+    args.learning_rate = 5e-4
     args.if_use_per = if_use_per
     args.eval_times = 16
-    args.eval_per_step = int(1e4)
+    args.eval_per_step = int(2e4)
     return train_agent(args)
 
 

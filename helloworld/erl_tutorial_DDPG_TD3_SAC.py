@@ -11,19 +11,18 @@ from elegantrl_tpu.train.runner import train_agent
 
 
 def train_for_pendulum(agent_class=AgentModSAC):
-    env_args = {'env_name': 'Pendulum-v1', 'num_envs': 16, 'max_step': 200,
+    env_args = {'env_name': 'Pendulum-v1', 'num_envs': 8, 'max_step': 200,
                 'state_dim': 3, 'action_dim': 1, 'if_discrete': False}
     args = Config(agent_class, PendulumEnv, env_args)
-    args.break_step = int(8e4)
-    args.net_dims = (128, 64)
+    args.break_step = int(2e5)
+    args.net_dims = (64, 64)
     args.gamma = 0.97
-    args.horizon_len = 64
-    args.buffer_size = int(1e5)
+    args.horizon_len = 100
+    args.buffer_size = int(1e6)
     args.batch_size = 256
-    args.learning_rate = 6e-4
-    args.reward_scale = 2 ** -1
+    args.learning_rate = 5e-4
     args.eval_times = 16
-    args.eval_per_step = int(1e4)
+    args.eval_per_step = int(2e4)
     return train_agent(args)
 
 

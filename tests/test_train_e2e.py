@@ -50,6 +50,26 @@ def test_dqn_cartpole_solves_partially(tmp_path):
     assert r['max_r'] > 100, r['max_r']
 
 
+def test_per_training_runs(tmp_path):
+    """PER end-to-end: DDPG with prioritized replay trains and stays finite."""
+    from elegantrl_tpu.agents import AgentDDPG
+    args = Config(agent_class=AgentDDPG, env_class=PendulumEnv,
+                  env_args={'env_name': 'Pendulum-v1', 'num_envs': 4,
+                            'max_step': 200, 'state_dim': 3, 'action_dim': 1,
+                            'if_discrete': False})
+    args.net_dims = (16, 16)
+    args.horizon_len = 32
+    args.buffer_size = 2048
+    args.batch_size = 32   # must divide by num_seqs for PER strata
+    args.if_use_per = True
+    args.eval_per_step = 512
+    args.eval_times = 2
+    args.break_step = 2048
+    args.cwd = str(tmp_path / 'per')
+    r = train_agent(args)
+    assert np.isfinite(r['recorder'][:, 1]).all()
+
+
 def test_modsac_pendulum_runs_and_improves(tmp_path):
     args = Config(agent_class=AgentModSAC, env_class=PendulumEnv,
                   env_args={'env_name': 'Pendulum-v1', 'num_envs': 8,
