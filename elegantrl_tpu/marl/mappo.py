@@ -1,0 +1,189 @@
+"""MAPPO: multi-agent PPO with centralized critic (CTDE), TPU-native.
+
+The capability the reference's ``MAgentMAPPO.py`` describes (parameter-
+shared decentralized actors + centralized value function; its code is
+vestigial — SURVEY.md §2.2), built on this framework's fused-loop pattern:
+
+- actors share one MLP applied over the agent axis (one batched matmul for
+  all agents of all envs);
+- the critic sees the global state; the shared team reward drives one GAE
+  stream per env;
+- PPO clipped surrogate with per-agent ratios, averaged over agents;
+- the entire explore+GAE+SGD round is one jitted program, vmapped over envs.
+
+(The reference file also mentions RNN policies and popart value norm; here
+policies are MLPs and advantages are batch-normalized — documented delta.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import dists, gae
+from ..ops.nets import mlp_apply, mlp_init
+from .env import MultiAgentEnvDef
+from ..agents.base import make_optimizer, grad_step
+
+
+class MAPPOState(NamedTuple):
+    actor: dict      # {'mlp': ..., 'std_log': (1, A)}
+    critic: list
+    act_opt: tuple
+    cri_opt: tuple
+
+
+def make_mappo(env: MultiAgentEnvDef, net_dims=(128, 128), args=None):
+    gamma = float(getattr(args, 'gamma', 0.99))
+    lam = float(getattr(args, 'lambda_gae_adv', 0.95))
+    clip = float(getattr(args, 'ratio_clip', 0.25))
+    lr = float(getattr(args, 'learning_rate', 3e-4))
+    lambda_entropy = float(getattr(args, 'lambda_entropy', 0.001))
+    clip_grad = float(getattr(args, 'clip_grad_norm', 3.0))
+    optimizer = make_optimizer(lr, clip_grad)
+    M, A = env.num_agents, env.action_dim
+
+    def init(key) -> MAPPOState:
+        k1, k2 = jax.random.split(key)
+        actor = {'mlp': mlp_init(k1, (env.obs_dim, *net_dims, A), out_std=0.1),
+                 'std_log': jnp.zeros((1, A))}
+        critic = mlp_init(k2, (env.state_dim, *net_dims, 1), out_std=0.5)
+        return MAPPOState(actor, critic,
+                          optimizer.init(actor), optimizer.init(critic))
+
+    def act(actor, obs, key):
+        """obs (..., M, obs_dim) -> actions, joint mean logprob."""
+        mean = mlp_apply(actor['mlp'], obs)
+        std = jnp.exp(actor['std_log'])
+        a = dists.normal_sample(key, mean, jnp.broadcast_to(std, mean.shape))
+        logp = jnp.sum(dists.normal_logprob(a, mean, std), axis=-1)  # (..., M)
+        return a, logp
+
+    def greedy(actor, obs):
+        return jnp.tanh(mlp_apply(actor['mlp'], obs))
+
+    @partial(jax.jit, static_argnums=(3, 4, 5, 6))
+    def train_round(state: MAPPOState, env_states, key,
+                    num_envs: int, horizon: int, batch_size: int,
+                    repeat_times: int):
+        k_roll, k_upd, k_reset = jax.random.split(key, 3)
+
+        def roll(carry, kt):
+            env_states = carry
+            ka, ke, kr = jax.random.split(kt, 3)
+            obs = jax.vmap(env.obs)(env_states)                  # (N, M, O)
+            gs = jax.vmap(env.global_state)(env_states)          # (N, S)
+            actions, logp = act(state.actor, obs, ka)
+            new_states, reward, terminal, truncate = jax.vmap(
+                env.step)(env_states, jnp.tanh(actions),
+                          jax.random.split(ke, num_envs))
+            done = terminal | truncate
+            fresh = jax.vmap(env.init)(jax.random.split(kr, num_envs))
+            env_states = jax.tree.map(
+                lambda f, o: jnp.where(
+                    done.reshape((-1,) + (1,) * (o.ndim - 1)), f, o),
+                fresh, new_states)
+            return env_states, (obs, gs, actions, logp, reward,
+                                1.0 - done.astype(jnp.float32))
+
+        env_states, (OBS, GS, ACT, LOGP, R, U) = jax.lax.scan(
+            roll, env_states, jax.random.split(k_roll, horizon))
+
+        V = jax.lax.map(lambda g: mlp_apply(state.critic, g)[..., 0], GS)
+        last_gs = jax.vmap(env.global_state)(env_states)
+        next_v = mlp_apply(state.critic, last_gs)[..., 0]
+        adv = gae.gae_vtrace(R, U, V, next_v, gamma, lam)
+        target = adv + V
+        adv = (adv - adv.mean()) / (adv.std() + 1e-5)
+
+        n_upd = max(1, horizon * repeat_times // batch_size)
+
+        def sgd(carry, kt):
+            actor, critic, a_opt, c_opt = carry
+            ids = jax.random.randint(kt, (batch_size,), 0, horizon * num_envs)
+            i0, i1 = ids % horizon, ids // horizon
+            obs_b, gs_b = OBS[i0, i1], GS[i0, i1]
+            act_b, logp_b = ACT[i0, i1], LOGP[i0, i1]
+            adv_b, tgt_b = adv[i0, i1], target[i0, i1]
+
+            def c_loss(cp):
+                v = mlp_apply(cp, gs_b)[..., 0]
+                return jnp.mean(jnp.square(v - tgt_b))
+
+            _, g = jax.value_and_grad(c_loss)(critic)
+            critic, c_opt = grad_step(optimizer, critic, c_opt, g)
+
+            def a_loss(ap):
+                mean = mlp_apply(ap['mlp'], obs_b)
+                std = jnp.exp(ap['std_log'])
+                new_logp = jnp.sum(dists.normal_logprob(act_b, mean, std), -1)
+                ratio = jnp.exp(new_logp - logp_b)           # (B, M)
+                surr = jnp.minimum(
+                    adv_b[:, None] * ratio,
+                    adv_b[:, None] * jnp.clip(ratio, 1 - clip, 1 + clip))
+                ent = jnp.sum(dists.normal_entropy(
+                    jnp.broadcast_to(std, mean.shape)), -1)
+                return -(jnp.mean(surr) - lambda_entropy * jnp.mean(ent))
+
+            _, g = jax.value_and_grad(a_loss)(actor)
+            actor, a_opt = grad_step(optimizer, actor, a_opt, g)
+            return (actor, critic, a_opt, c_opt), None
+
+        (actor, critic, a_opt, c_opt), _ = jax.lax.scan(
+            sgd, (state.actor, state.critic, state.act_opt, state.cri_opt),
+            jax.random.split(k_upd, n_upd))
+        return (MAPPOState(actor, critic, a_opt, c_opt), env_states,
+                jnp.mean(R))
+
+    @partial(jax.jit, static_argnums=2)
+    def evaluate(state: MAPPOState, key, num_episodes: int = 16):
+        ks = jax.random.split(key, num_episodes)
+        env_states = jax.vmap(env.init)(ks)
+
+        def body(carry, kt):
+            env_states, done, ret = carry
+            obs = jax.vmap(env.obs)(env_states)
+            a = greedy(state.actor, obs)
+            new_states, reward, terminal, truncate = jax.vmap(env.step)(
+                env_states, a, jax.random.split(kt, num_episodes))
+            alive = jnp.logical_not(done)
+            ret = ret + reward * alive
+            env_states = jax.tree.map(
+                lambda n, o: jnp.where(
+                    done.reshape((-1,) + (1,) * (o.ndim - 1)), o, n),
+                new_states, env_states)
+            done = done | terminal | truncate
+            return (env_states, done, ret), None
+
+        init_c = (env_states, jnp.zeros(num_episodes, jnp.bool_),
+                  jnp.zeros(num_episodes))
+        (_, _, ret), _ = jax.lax.scan(
+            body, init_c, jax.random.split(key, env.max_step))
+        return ret.mean()
+
+    return init, train_round, evaluate, greedy
+
+
+def train_mappo(env: MultiAgentEnvDef, args=None, num_envs: int = 64,
+                horizon: int = 128, batch_size: int = 512,
+                repeat_times: int = 16, num_rounds: int = 40,
+                seed: int = 0, verbose: bool = True):
+    init, train_round, evaluate, _ = make_mappo(env, args=args)
+    key = jax.random.key(seed)
+    k1, k2, key = jax.random.split(key, 3)
+    state = init(k1)
+    env_states = jax.vmap(env.init)(jax.random.split(k2, num_envs))
+    history = []
+    for i in range(num_rounds):
+        key, sub = jax.random.split(key)
+        state, env_states, exp_r = train_round(
+            state, env_states, sub, num_envs, horizon, batch_size, repeat_times)
+        if (i + 1) % max(1, num_rounds // 8) == 0:
+            score = float(evaluate(state, jax.random.key(9000 + i)))
+            history.append(score)
+            if verbose:
+                print(f"| mappo round {i + 1}: eval avgR {score:9.3f}", flush=True)
+    return state, history
