@@ -105,7 +105,7 @@ class ReplayBuffer:
                ) -> Tuple[jax.Array, ...]:
         """Uniform sample of ``batch_size`` transitions; returns
         (state, action, reward, undone, unmask, next_state, (ids0, ids1))."""
-        sample_len = buf.size - 1
+        sample_len = jnp.maximum(buf.size - 1, 1)
         ids = jax.random.randint(key, (batch_size,), 0, sample_len * self.num_seqs)
         ids0 = ids % sample_len
         ids1 = ids // sample_len

@@ -100,8 +100,9 @@ def train_round(carry: Carry, _):
         env_state, obs = c
         ka, ke, kr = jax.random.split(kt, 3)
         greedy = jnp.argmax(mlp(carry.q, obs), -1)
-        rand = jax.random.randint(ka, greedy.shape, 0, 2)
-        act = jnp.where(jax.random.uniform(ka, greedy.shape) < HP['eps'], rand, greedy)
+        k_r, k_e = jax.random.split(ka)
+        rand = jax.random.randint(k_r, greedy.shape, 0, 2)
+        act = jnp.where(jax.random.uniform(k_e, greedy.shape) < HP['eps'], rand, greedy)
         new_state, rew, done = jax.vmap(env_step)(env_state, act)
         fresh = jax.vmap(env_init)(jax.random.split(kr, HP['num_envs']))
         env_state = jax.tree.map(
