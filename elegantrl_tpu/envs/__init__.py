@@ -9,3 +9,5 @@ from .stock_trading import StockTradingEnv, StockTradingVecEnv, make_stock_tradi
 from .lunar_lander import (  # noqa: F401
     LunarLanderEnv, LunarLanderContinuousEnv, make_lunar_lander,
 )
+from .hopper import HopperEnv, make_hopper  # noqa: F401
+from .host_env import make_host_env  # noqa: F401

@@ -90,3 +90,25 @@ def test_modsac_pendulum_runs_and_improves(tmp_path):
     rec = r['recorder']
     assert np.isfinite(rec[:, 1]).all()
     assert r['max_r'] > rec[0, 1], rec[:, 1]
+
+
+def test_ppo_hopper_learns_to_move(tmp_path):
+    """Hopper-style SLIP locomotion: PPO should roughly double the random
+    return within a small budget (full solve is shown on TPU)."""
+    from elegantrl_tpu.envs import HopperEnv
+    args = Config(agent_class=AgentPPO, env_class=HopperEnv,
+                  env_args={'env_name': 'HopperSlip-v0', 'num_envs': 16,
+                            'max_step': 1000, 'state_dim': 6, 'action_dim': 2,
+                            'if_discrete': False})
+    args.net_dims = (64, 64)
+    args.gamma = 0.99
+    args.horizon_len = 256
+    args.repeat_times = 16
+    args.learning_rate = 3e-4
+    args.batch_size = 256
+    args.eval_per_step = 32768
+    args.eval_times = 8
+    args.break_step = 150_000
+    args.cwd = str(tmp_path / 'hopper')
+    r = train_agent(args)
+    assert r['max_r'] > 800, r['recorder'][:, 1]
