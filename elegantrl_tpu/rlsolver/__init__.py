@@ -10,3 +10,4 @@ from .mcpg import mcpg_solve  # noqa: F401
 from .mis import MISSimulator, greedy_mis  # noqa: F401
 from .isco import isco_solve  # noqa: F401
 from .s2v_dqn import make_s2v_dqn, s2v_dqn_solve  # noqa: F401
+from .tsp import TSPSimulator, tsp_solve, random_cities  # noqa: F401

@@ -104,3 +104,28 @@ def test_graph_txt_roundtrip(tmp_path):
     n, edges2 = read_graph_txt(p)
     assert n == 12 and len(edges2) == len(edges)
     np.testing.assert_allclose(edges2[:, :2], edges[:, :2])
+
+
+def test_tsp_square_optimal():
+    from elegantrl_tpu.rlsolver import TSPSimulator, tsp_solve
+    square = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], np.float32)
+    length, tour = tsp_solve(square, jax.random.key(0), num_sims=16,
+                             num_iters=8)
+    assert abs(length - 4.0) < 1e-5
+    assert sorted(np.asarray(tour).tolist()) == [0, 1, 2, 3]
+
+
+def test_tsp_two_opt_improves_random():
+    from elegantrl_tpu.rlsolver import TSPSimulator, random_cities
+    sim = TSPSimulator(random_cities(30, seed=1))
+    tours = sim.rand_tours(jax.random.key(0), 64)
+    before = float(sim.tour_length(tours).min())
+    after_tours = sim.two_opt(tours, num_iters=64)
+    after = float(sim.tour_length(after_tours).min())
+    assert after < before * 0.75
+    # nearest-neighbor + 2-opt beats plain 2-opt-from-random
+    nn = sim.two_opt(sim.nearest_neighbor(jax.random.key(1), 64), 64)
+    assert float(sim.tour_length(nn).min()) <= after * 1.05
+    # tours remain valid permutations
+    t = np.sort(np.asarray(after_tours), axis=-1)
+    assert (t == np.arange(30)).all()
