@@ -91,6 +91,67 @@ def buffer_gather(buf: jax.Array, ids0: jax.Array, ids1: jax.Array,
     return out[:batch]
 
 
+# ------------------------------------------------------------------ fused GAE
+def gae_vtrace_reference(rewards, undones, values, next_value, gamma, lam):
+    from .gae import gae_vtrace
+    return gae_vtrace(rewards, undones, values, next_value, gamma, lam)
+
+
+def _gae_kernel(gamma_lam_ref, r_ref, m_ref, v_ref, nv_ref, adv_ref):
+    """One lane-block (H, 128): the whole reverse V-trace recursion runs
+    inside the kernel with everything VMEM-resident — replaces H sequential
+    XLA loop iterations with one kernel invocation."""
+    h = r_ref.shape[0]
+    gamma = gamma_lam_ref[0]
+    lam = gamma_lam_ref[1]
+
+    def body(t, carry):
+        next_v, adv = carry                      # (1, 128) each
+        i = h - 1 - t
+        r = r_ref[pl.ds(i, 1), :]
+        m = m_ref[pl.ds(i, 1), :] * gamma
+        v = v_ref[pl.ds(i, 1), :]
+        nv = r + m * next_v
+        adv = nv - v + m * lam * adv
+        adv_ref[pl.ds(i, 1), :] = adv
+        return v, adv
+
+    nv0 = nv_ref[...]
+    zero = jnp.zeros_like(nv0)
+    jax.lax.fori_loop(0, h, body, (nv0, zero))
+
+
+def gae_vtrace_pallas(rewards: jax.Array, undones: jax.Array,
+                      values: jax.Array, next_value: jax.Array,
+                      gamma: float, lam: float,
+                      interpret: bool = False) -> jax.Array:
+    """Pallas V-trace advantages; semantics of :func:`ops.gae.gae_vtrace`.
+    Requires num_envs % 128 == 0 (lane width); callers fall back otherwise."""
+    h, n = rewards.shape
+    assert n % 128 == 0, "pad num_envs to a lane multiple or use the XLA path"
+    gl = jnp.asarray([gamma, lam], jnp.float32)
+    grid = (n // 128,)
+
+    def cmap(i, gl_ref=None):
+        return (0, i)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[pl.BlockSpec((h, 128), cmap, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((h, 128), cmap, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((h, 128), cmap, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 128), cmap, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((h, 128), cmap, memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _gae_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((h, n), jnp.float32),
+        interpret=interpret,
+    )(gl, rewards, undones, values, next_value[None, :])
+
+
 # ----------------------------------------------------------------- fused MLP
 def fused_mlp3_reference(x, w0, b0, w1, b1, w2, b2):
     h = jax.nn.gelu(x @ w0 + b0)

@@ -33,3 +33,19 @@ def test_fused_mlp3_matches_reference():
     ref = fused_mlp3_reference(x, w0, b0, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_gae_pallas_matches_xla():
+    rng = np.random.default_rng(3)
+    H, N = 37, 256
+    rewards = jnp.asarray(rng.standard_normal((H, N)), jnp.float32)
+    undones = jnp.asarray((rng.random((H, N)) > 0.1), jnp.float32)
+    values = jnp.asarray(rng.standard_normal((H, N)), jnp.float32)
+    next_value = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    from elegantrl_tpu.ops.pallas_kernels import (gae_vtrace_pallas,
+                                                  gae_vtrace_reference)
+    out = gae_vtrace_pallas(rewards, undones, values, next_value, 0.99, 0.95,
+                            interpret=True)
+    ref = gae_vtrace_reference(rewards, undones, values, next_value, 0.99, 0.95)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
