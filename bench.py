@@ -16,13 +16,10 @@ subtracted.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-
-from __graft_entry__ import _make_args
-from elegantrl_tpu.train.runner import build_training
 
 NUM_ENVS = 4096
 HORIZON = 64
@@ -30,24 +27,46 @@ ROUNDS = 200
 BASELINE_STEPS_PER_SEC = 8.08e4 / 202.0  # reference demo_A2C_PPO.py:44-53
 
 
-def fetch(x) -> float:
-    """Force execution of everything x depends on; returns a scalar."""
-    return float(jnp.sum(x).astype(jnp.float32))
-
-
-def measure_rtt() -> float:
-    x = jnp.ones(8)
-    f = jax.jit(lambda v: v + 1)
-    fetch(f(x))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        fetch(f(x))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
 def main():
+    """The tunneled TPU occasionally wedges a fresh process's device claim
+    (all threads futex-wait; recovers after minutes).  Run the measurement in
+    a child process with a timeout and one retry so a single wedge can't eat
+    the benchmark."""
+    for attempt in range(3):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                capture_output=True, text=True, timeout=900)
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(120)  # let the relay recover the grant
+    raise SystemExit("bench: device claim failed 3 times")
+
+
+def child():
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _make_args
+    from elegantrl_tpu.train.runner import build_training
+
+    def fetch(x):
+        return float(jnp.sum(x).astype(jnp.float32))
+
+    def measure_rtt():
+        x = jnp.ones(8)
+        f = jax.jit(lambda v: v + 1)
+        fetch(f(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fetch(f(x))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
     args = _make_args(num_envs=NUM_ENVS, horizon_len=HORIZON, batch_size=512)
     ctx = build_training(args)
 
@@ -80,4 +99,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    child() if "--child" in sys.argv else main()
