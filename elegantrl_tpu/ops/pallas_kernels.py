@@ -23,7 +23,9 @@ gather beats the DMA-per-row kernel ~2x at RL-typical row sizes (512 B rows
 are too small to amortize DMA issue cost), and XLA's fused matmul chain
 matches ``fused_mlp3`` within noise — so the DEFAULT paths use XLA, and
 these kernels remain as validated infrastructure for shapes where manual
-DMA/pipelining wins (wide observation rows, multi-row blocks).
+DMA/pipelining wins (wide observation rows, multi-row blocks).  The fused
+GAE kernel likewise ties XLA (4.2 vs 4.1 ms per 100 calls at (64, 4096)) —
+XLA's scan lowering is already optimal for this recursion.
 """
 
 from __future__ import annotations
