@@ -152,8 +152,8 @@ class Evaluator:
 
         self._key, sub = jax.random.split(self._key)
         returns, ep_steps = self._eval_fn(agent_state, sub)
-        returns = np.asarray(returns)
-        ep_steps = np.asarray(ep_steps)
+        both = np.asarray(jnp.stack([returns, ep_steps.astype(jnp.float32)]))
+        returns, ep_steps = both[0], both[1]  # one host transfer, not two
         avg_r, std_r = float(returns.mean()), float(returns.std())
         avg_s, std_s = float(ep_steps.mean()), float(ep_steps.std())
         used_time = int(time.time() - self.start_time)

@@ -179,9 +179,20 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
     # ``args.donate_carry = True`` on standard PJRT backends.
     donate = (0,) if bool(getattr(args, 'donate_carry', False)) else ()
 
+    metric_shapes = jax.eval_shape(lambda c: round_fn(c, None)[1], carry)
+    metric_names = sorted(k for k in metric_shapes if k != 'action_hist')
+    has_hist = 'action_hist' in metric_shapes
+
     @partial(jax.jit, static_argnums=1, donate_argnums=donate)
     def train_rounds(carry: TrainCarry, n_rounds: int):
-        return jax.lax.scan(round_fn, carry, None, length=n_rounds)
+        carry, metrics = jax.lax.scan(round_fn, carry, None, length=n_rounds)
+        # reduce metrics on device and pack them into ONE small array so the
+        # host pays a single transfer round-trip, not one per metric
+        packed = jnp.stack([jnp.mean(metrics[k]) for k in metric_names])
+        if has_hist:
+            packed = jnp.concatenate(
+                [packed, jnp.sum(metrics['action_hist'], axis=0).astype(jnp.float32)])
+        return carry, packed
 
     '''evaluator (reference run.py:79-82)'''
     eval_env = env
@@ -198,14 +209,14 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
     t_start = time.time()
     if_train = True
     while if_train:
-        carry, metrics = train_rounds(carry, rounds_per_eval)
-        action_hist = metrics.pop('action_hist', None)
-        metrics = {k: float(np.mean(np.asarray(v))) for k, v in metrics.items()}
+        carry, packed = train_rounds(carry, rounds_per_eval)
+        packed = np.asarray(packed)                      # ONE host transfer
+        metrics = dict(zip(metric_names, packed[:len(metric_names)].tolist()))
         total_step += steps_per_round * rounds_per_eval
         logging_tuple = (metrics.get('obj_critic', 0.0),
                          metrics.get('obj_actor', 0.0))
-        if action_hist is not None:
-            counts = np.asarray(action_hist).sum(0)
+        if has_hist:
+            counts = packed[len(metric_names):]
             frac = counts / max(counts.sum(), 1)
             logging_tuple = (*logging_tuple,
                              ' a:' + ' '.join(f'{f:.2f}' for f in frac))

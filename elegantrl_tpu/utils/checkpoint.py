@@ -36,11 +36,13 @@ def _is_prng_key(x) -> bool:
 
 def save_pytree(path: str, tree: Any) -> None:
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
-    arrays = {}
-    for i, (kp, leaf) in enumerate(leaves):
-        if _is_prng_key(leaf):  # typed PRNG keys store their raw bits
-            leaf = jax.random.key_data(leaf)
-        arrays[f"{i:04d}|{_path_str(kp)}"] = np.asarray(leaf)
+    keyed = [(f"{i:04d}|{_path_str(kp)}",
+              jax.random.key_data(leaf) if _is_prng_key(leaf) else leaf)
+             for i, (kp, leaf) in enumerate(leaves)]
+    # fetch all leaves in one device_get (async per-leaf copies, one wait)
+    # instead of a blocking round-trip per leaf
+    values = jax.device_get([v for _, v in keyed])
+    arrays = {k: np.asarray(v) for (k, _), v in zip(keyed, values)}
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     np.savez_compressed(path, **arrays)
 
