@@ -1,3 +1,4 @@
 from .env import MultiAgentEnvDef  # noqa: F401
-from .chasing import make_team_chasing  # noqa: F401
+from .chasing import make_team_chasing, make_team_chasing_discrete  # noqa: F401
 from .mappo import make_mappo, train_mappo  # noqa: F401
+from .qmix import make_qmix, train_qmix  # noqa: F401

@@ -82,3 +82,18 @@ def make_team_chasing(num_agents: int = 3, dim: int = 2) -> MultiAgentEnvDef:
         state_dim=2 * dim + 2 * num_agents * dim, action_dim=dim,
         if_discrete=False, max_step=_MAX_STEP,
         init=init, obs=obs, global_state=global_state, step=step)
+
+
+def make_team_chasing_discrete(num_agents: int = 3, dim: int = 2) -> MultiAgentEnvDef:
+    """Discrete-action variant: per-agent 3^dim action grid mapping each
+    base-3 digit to {-1, 0, +1} (same encoding as the single-agent
+    PointChasingDiscreteEnv, reference PointChasingEnv.py:185-210)."""
+    cont = make_team_chasing(num_agents, dim)
+
+    def step(s, actions, key):
+        digits = (actions[:, None] // (3 ** jnp.arange(dim))) % 3
+        cont_actions = digits.astype(jnp.float32) - 1.0
+        return cont.step(s, cont_actions, key)
+
+    return cont._replace(env_name='TeamChasingDiscreteEnv',
+                         action_dim=3 ** dim, if_discrete=True, step=step)
