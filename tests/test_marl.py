@@ -42,3 +42,12 @@ def test_vdn_runs_finite():
     state, history = train_qmix(env, num_envs=16, horizon=32,
                                 num_rounds=8, verbose=False, mixer='vdn')
     assert np.isfinite(history).all()
+
+
+def test_maddpg_learns():
+    from elegantrl_tpu.marl import make_team_chasing, train_maddpg
+    env = make_team_chasing(num_agents=2, dim=2)
+    state, history = train_maddpg(env, num_envs=16, num_rounds=40,
+                                  verbose=False)
+    assert np.isfinite(history).all()
+    assert max(history[-3:]) > history[0] + 5, history
