@@ -5,7 +5,9 @@ from .point_chasing import (  # noqa: F401
     PointChasingEnv, PointChasingVecEnv, PointChasingDiscreteEnv,
     make_point_chasing, make_point_chasing_discrete,
 )
-from .stock_trading import StockTradingEnv, StockTradingVecEnv, make_stock_trading  # noqa: F401
+from .stock_trading import (  # noqa: F401
+    StockTradingEnv, StockTradingVecEnv, StockTradingVmapEnv, make_stock_trading,
+)
 from .lunar_lander import (  # noqa: F401
     LunarLanderEnv, LunarLanderContinuousEnv, make_lunar_lander,
 )

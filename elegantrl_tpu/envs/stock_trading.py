@@ -190,3 +190,7 @@ class StockTradingEnv(StockTradingVecEnv):
     def __init__(self, **kwargs):
         kwargs.setdefault('num_envs', 1)
         super().__init__(**kwargs)
+
+
+class StockTradingVmapEnv(StockTradingVecEnv):
+    """Name alias for the reference's helloworld ``StockTradingVmapEnv``."""
