@@ -11,3 +11,4 @@ from .mis import MISSimulator, greedy_mis  # noqa: F401
 from .isco import isco_solve  # noqa: F401
 from .s2v_dqn import make_s2v_dqn, s2v_dqn_solve  # noqa: F401
 from .tsp import TSPSimulator, tsp_solve, random_cities  # noqa: F401
+from .attention_tsp import make_attention_tsp, train_attention_tsp  # noqa: F401

@@ -129,3 +129,16 @@ def test_tsp_two_opt_improves_random():
     # tours remain valid permutations
     t = np.sort(np.asarray(after_tours), axis=-1)
     assert (t == np.arange(30)).all()
+
+
+def test_attention_tsp_learns():
+    from elegantrl_tpu.rlsolver import train_attention_tsp, TSPSimulator, random_cities
+    import jax.numpy as jnp
+    params, opt_state, solve = train_attention_tsp(
+        num_cities=10, num_steps=40, num_sims=64, verbose=False)
+    cities = random_cities(10, seed=11)
+    length, tour = solve(params, jnp.asarray(cities), jax.random.key(0))
+    sim = TSPSimulator(cities)
+    rnd = float(sim.tour_length(sim.rand_tours(jax.random.key(2), 256)).min())
+    assert float(length) < rnd          # beats best-of-256 random tours
+    assert sorted(np.asarray(tour).tolist()) == list(range(10))
