@@ -30,9 +30,6 @@ XLA's scan lowering is already optimal for this recursion.
 
 from __future__ import annotations
 
-import functools
-from typing import List, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

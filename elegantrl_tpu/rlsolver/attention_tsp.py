@@ -21,9 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .tsp import TSPSimulator
-
-
 class AMParams(NamedTuple):
     embed: tuple                 # (w, b) coords -> D
     blocks: tuple                # per block: (wq, wk, wv, wo, w1, b1, w2, b2)

@@ -21,7 +21,7 @@ which powers vectorized greedy local search and simulated annealing sweeps.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
