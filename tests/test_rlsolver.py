@@ -142,3 +142,15 @@ def test_attention_tsp_learns():
     rnd = float(sim.tour_length(sim.rand_tours(jax.random.key(2), 256)).min())
     assert float(length) < rnd          # beats best-of-256 random tours
     assert sorted(np.asarray(tour).tolist()) == list(range(10))
+
+
+def test_l2a_solves_small_graph():
+    from elegantrl_tpu.rlsolver import l2a_solve
+    edges = generate_graph('ER', 30, seed=3)
+    sim = MaxCutSimulator(edges, 30)
+    ls_obj, _ = greedy_local_search(sim, jax.random.key(0), num_sims=512,
+                                    num_iters=64)
+    obj, x = l2a_solve(sim, jax.random.key(1), num_chains=128, num_epochs=8,
+                       num_transfers=16, num_ls=8)
+    assert obj >= 0.9 * float(ls_obj)
+    np.testing.assert_allclose(float(sim.obj(x[None])[0]), obj)
