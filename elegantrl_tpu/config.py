@@ -85,8 +85,8 @@ class Config:
         '''evaluation'''
         self.cwd = None
         self.if_remove = True
-        self.break_step = np.inf
-        self.break_score = np.inf
+        self.break_step = np.inf   # stop when total env steps exceed this
+        self.break_score = np.inf  # stop early once eval avgR reaches this
         self.if_keep_save = True
         self.if_over_write = False
         self.if_save_buffer = False

@@ -88,6 +88,19 @@ class SegmentTree:
         prios = jnp.take_along_axis(tree, node, axis=1)
         return node - self.cap, prios
 
+    def from_leaves(self, leaves: jax.Array) -> jax.Array:
+        """Rebuild a full tree from its (num_seqs, max_size) leaf slice —
+        used on checkpoint restore.  Parents are recomputed level by level."""
+        tree = self.init()
+        tree = jax.lax.dynamic_update_slice_in_dim(tree, leaves, self.cap, axis=1)
+        lo = self.cap
+        while lo > 1:
+            lo //= 2
+            children = tree[:, 2 * lo:4 * lo]
+            level = children[:, ::2] + children[:, 1::2]
+            tree = jax.lax.dynamic_update_slice_in_dim(tree, level, lo, axis=1)
+        return tree
+
     def min_leaf(self, tree: jax.Array, size: jax.Array) -> jax.Array:
         """Per-seq minimum priority over the ``size`` valid leaves
         (reference divides by ``tree[beg:end].min()``, :297)."""

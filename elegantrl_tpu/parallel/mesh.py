@@ -40,9 +40,27 @@ def make_mesh(mesh_axes: Optional[Dict[str, int]] = None) -> Mesh:
     return Mesh(devices, names)
 
 
+def _put(mesh: Mesh, x: Any, spec) -> jax.Array:
+    """Place ``x`` (identical full-size array on every process) with the
+    given spec.  Single-process: plain device_put.  Multi-process: the mesh
+    spans non-addressable devices, so build the global array from each
+    process's local slice of the (replicated) host data."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if hasattr(x, 'dtype') and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(x))
+        impl = jax.random.key_impl(x)
+        pad = (len(data.shape) - np.ndim(x)) * (None,)
+        global_data = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(*spec, *pad)), data, data.shape)
+        return jax.random.wrap_key_data(global_data, impl=impl)
+    data = np.asarray(x)
+    return jax.make_array_from_process_local_data(sharding, data, data.shape)
+
+
 def _shard(mesh: Mesh, tree: Any, spec_fn) -> Any:
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, spec_fn(x))), tree)
+    return jax.tree.map(lambda x: _put(mesh, x, spec_fn(x)), tree)
 
 
 def shard_train_carry(mesh: Mesh, carry: Any, axis: str = 'dp') -> Any:
@@ -61,19 +79,16 @@ def shard_train_carry(mesh: Mesh, carry: Any, axis: str = 'dp') -> Any:
     agent_state = _shard(mesh, carry.agent_state, rep_spec)
     env_state = _shard(mesh, carry.env_state, env_spec)
     obs = _shard(mesh, carry.obs, env_spec)
-    key = jax.device_put(carry.key, NamedSharding(mesh, P()))
+    key = _put(mesh, carry.key, P())
     buf_state = carry.buf_state
     if buf_state is not None:
         new_fields = {}
         for name, val in buf_state._asdict().items():
             if val is None or name in ('ptr', 'size'):
-                new_fields[name] = (val if val is None else
-                                    jax.device_put(val, NamedSharding(mesh, P())))
+                new_fields[name] = (val if val is None else _put(mesh, val, P()))
             elif name == 'per_tree':
-                new_fields[name] = jax.device_put(
-                    val, NamedSharding(mesh, P(axis, None)))
+                new_fields[name] = _put(mesh, val, P(axis, None))
             else:
-                new_fields[name] = jax.device_put(
-                    val, NamedSharding(mesh, buf_spec(val)))
+                new_fields[name] = _put(mesh, val, buf_spec(val))
         buf_state = type(buf_state)(**new_fields)
     return type(carry)(agent_state, buf_state, env_state, obs, key)

@@ -143,15 +143,33 @@ class Evaluator:
 
     def evaluate_and_save(self, agent_state: Any, steps: int, exp_r: float,
                           logging_tuple: tuple) -> None:
+        """Synchronous evaluate + record (reference ``evaluate_and_save``,
+        evaluator.py:56-124).  The fused training loop instead uses the
+        ``dispatch``/``finish`` pair so evaluation overlaps the next
+        training dispatch (replaces the reference's concurrent
+        ``EvaluatorProc``, run.py:421-475)."""
+        handle = self.dispatch(agent_state, steps)
+        if handle is not None:
+            self.finish(handle, exp_r, logging_tuple)
+
+    def dispatch(self, agent_state: Any, steps: int):
+        """Account ``steps`` and, if the eval cadence is due, launch the
+        jitted parallel-episode eval WITHOUT blocking (JAX dispatch is
+        async).  Returns an opaque handle for ``finish`` or None."""
         self.total_step += steps
         if self.total_step < self.recorder_step:
-            return
+            return None
         if self.total_step < self.eval_step_counter + self.eval_per_step:
-            return
+            return None
         self.eval_step_counter = self.total_step
-
         self._key, sub = jax.random.split(self._key)
         returns, ep_steps = self._eval_fn(agent_state, sub)
+        return (self.total_step, returns, ep_steps, agent_state)
+
+    def finish(self, handle, exp_r: float, logging_tuple: tuple) -> None:
+        """Fetch a dispatched eval's results and do the host-side recording,
+        printing and checkpointing."""
+        total_step, returns, ep_steps, agent_state = handle
         both = np.asarray(jnp.stack([returns, ep_steps.astype(jnp.float32)]))
         returns, ep_steps = both[0], both[1]  # one host transfer, not two
         avg_r, std_r = float(returns.mean()), float(returns.std())
@@ -161,19 +179,19 @@ class Evaluator:
         logging_str = logging_tuple[-1] if (logging_tuple and isinstance(
             logging_tuple[-1], str)) else ''
 
-        self.recorder.append((self.total_step, avg_r, std_r, exp_r, *values))
+        self.recorder.append((total_step, avg_r, std_r, exp_r, *values))
         if self.tensorboard is not None:
-            self.tensorboard.add_scalar("reward/avg_reward_sample", avg_r, self.total_step)
-            self.tensorboard.add_scalar("reward/std_reward_sample", std_r, self.total_step)
-            self.tensorboard.add_scalar("reward/exp_reward_sample", exp_r, self.total_step)
+            self.tensorboard.add_scalar("reward/avg_reward_sample", avg_r, total_step)
+            self.tensorboard.add_scalar("reward/std_reward_sample", std_r, total_step)
+            self.tensorboard.add_scalar("reward/exp_reward_sample", exp_r, total_step)
             if values:
-                self.tensorboard.add_scalar("info/critic_loss_sample", values[0], self.total_step)
+                self.tensorboard.add_scalar("info/critic_loss_sample", values[0], total_step)
             if len(values) > 1:
-                self.tensorboard.add_scalar("info/actor_obj_sample", values[1], self.total_step)
+                self.tensorboard.add_scalar("info/actor_obj_sample", values[1], total_step)
 
         prev_max_r = self.max_r
         self.max_r = max(self.max_r, avg_r)
-        print(f"{self.agent_id:<3}{self.total_step:8.2e}{used_time:8.0f} |"
+        print(f"{self.agent_id:<3}{total_step:8.2e}{used_time:8.0f} |"
               f"{avg_r:8.2f}{std_r:7.1f}{avg_s:7.0f}{std_s:6.0f} |"
               f"{exp_r:8.2f}{''.join(f'{v:7.2f}' for v in values)}"
               f"{logging_str}", flush=True)
@@ -185,11 +203,11 @@ class Evaluator:
         if avg_r > prev_max_r:
             actor_path = (os.path.join(self.cwd, 'actor.npz') if self.if_over_write
                           else os.path.join(self.cwd,
-                                            f'actor__{self.total_step:012}_{self.max_r:09.3f}.npz'))
+                                            f'actor__{total_step:012}_{self.max_r:09.3f}.npz'))
         elif self.save_counter >= self.save_gap:
             self.save_counter = 0
             actor_path = (os.path.join(self.cwd, 'actor.npz') if self.if_over_write
-                          else os.path.join(self.cwd, f'actor__{self.total_step:012}.npz'))
+                          else os.path.join(self.cwd, f'actor__{total_step:012}.npz'))
         if actor_path:
             save_pytree(actor_path, agent_state)
             self.save_or_load_recorder(if_save=True)

@@ -165,21 +165,32 @@ class ReplayBuffer:
 
     def save_or_load_history(self, buf: BufferState, cwd: str, if_save: bool
                              ) -> BufferState:
-        """Persist the buffer (reference :181-211) as one npz."""
+        """Persist the buffer (reference :181-211) as one npz.  Every field
+        is round-tripped, including the PER tree leaves (priorities survive a
+        resume; interior nodes are rebuilt on load) and ``cum_rewards``."""
         path = os.path.join(cwd, 'replay_buffer.npz')
         if if_save:
-            np.savez_compressed(
-                path,
-                **{k: np.asarray(v) for k, v in buf._asdict().items()
-                   if v is not None and k != 'per_tree'})
+            arrays = {k: np.asarray(v) for k, v in buf._asdict().items()
+                      if v is not None and k != 'per_tree'}
+            if buf.per_tree is not None:
+                # persist only the (N, max_size) leaf slice; parents are a
+                # deterministic function of the leaves
+                arrays['per_leaves'] = np.asarray(
+                    buf.per_tree[:, self.tree.cap:self.tree.cap + self.max_size])
+            np.savez_compressed(path, **arrays)
             print(f"| buffer.save_or_load_history(): Save {path}", flush=True)
             return buf
         if os.path.isfile(path):
             d = np.load(path)
             print(f"| buffer.save_or_load_history(): Load {path}", flush=True)
-            return buf._replace(
+            buf = buf._replace(
                 states=jnp.asarray(d['states']), actions=jnp.asarray(d['actions']),
                 rewards=jnp.asarray(d['rewards']), undones=jnp.asarray(d['undones']),
                 unmasks=jnp.asarray(d['unmasks']),
                 ptr=jnp.asarray(d['ptr']), size=jnp.asarray(d['size']))
+            if 'cum_rewards' in d.files and buf.cum_rewards is not None:
+                buf = buf._replace(cum_rewards=jnp.asarray(d['cum_rewards']))
+            if 'per_leaves' in d.files and self.tree is not None:
+                buf = buf._replace(per_tree=self.tree.from_leaves(
+                    jnp.asarray(d['per_leaves'])))
         return buf

@@ -152,6 +152,14 @@ def build_training(args: Config, mesh=None) -> TrainContext:
         return TrainCarry(agent_state, buf_state, env_state, obs, key), metrics
 
     carry = TrainCarry(agent_state, buf_state, env_state, obs, k_train)
+    if args.continue_train:
+        # full-carry restore (agent + buffer + env + rng): training resumed
+        # from round k is bitwise-identical to never having stopped (see
+        # tests/test_checkpoint.py::test_resume_equivalence)
+        full_ckpt = os.path.join(args.cwd, 'train_carry.npz')
+        if os.path.isfile(full_ckpt):
+            carry = load_pytree(full_ckpt, carry)
+            print(f"| train_agent: resumed full carry from {full_ckpt}", flush=True)
     if mesh is not None:
         from ..parallel.mesh import shard_train_carry
         carry = shard_train_carry(mesh, carry)
@@ -205,14 +213,11 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
 
     rounds_per_eval = max(1, int(args.eval_per_step) // steps_per_round)
 
-    total_step = 0
-    t_start = time.time()
-    if_train = True
-    while if_train:
-        carry, packed = train_rounds(carry, rounds_per_eval)
-        packed = np.asarray(packed)                      # ONE host transfer
+    def _process(packed, handle):
+        """Fetch one round's packed metrics (single host transfer) and, if an
+        eval was dispatched for it, record/print/save its results."""
+        packed = np.asarray(packed)
         metrics = dict(zip(metric_names, packed[:len(metric_names)].tolist()))
-        total_step += steps_per_round * rounds_per_eval
         logging_tuple = (metrics.get('obj_critic', 0.0),
                          metrics.get('obj_actor', 0.0))
         if has_hist:
@@ -220,17 +225,45 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
             frac = counts / max(counts.sum(), 1)
             logging_tuple = (*logging_tuple,
                              ' a:' + ' '.join(f'{f:.2f}' for f in frac))
-        evaluator.evaluate_and_save(
-            carry.agent_state, steps=steps_per_round * rounds_per_eval,
-            exp_r=metrics.get('exp_r', 0.0), logging_tuple=logging_tuple)
+        if handle is not None:
+            evaluator.finish(handle, exp_r=metrics.get('exp_r', 0.0),
+                             logging_tuple=logging_tuple)
+
+    # Software-pipelined host loop (replaces the reference's concurrent
+    # EvaluatorProc, run.py:421-475): dispatch train_rounds + eval for round
+    # i, then while the device executes them, fetch and record round i-1's
+    # results.  The device queue never drains, so eval/logging round-trips
+    # cost zero device idle time.  Donation invalidates the previous carry's
+    # buffers at the next dispatch, so with donate_carry the loop falls back
+    # to depth-1 (process immediately).
+    pipeline = not donate
+    total_step = 0
+    t_start = time.time()
+    if_train = True
+    prev = None
+    while if_train:
+        carry, packed = train_rounds(carry, rounds_per_eval)   # async dispatch
+        handle = evaluator.dispatch(
+            carry.agent_state, steps=steps_per_round * rounds_per_eval)
+        if prev is not None:
+            _process(*prev)          # overlaps with the device's current round
+        prev = (packed, handle)
+        if not pipeline:
+            _process(*prev)
+            prev = None
+        total_step += steps_per_round * rounds_per_eval
         if_train = (total_step <= args.break_step
+                    and evaluator.max_r < args.break_score
                     and not os.path.exists(os.path.join(args.cwd, 'stop')))
+    if prev is not None:
+        _process(*prev)
 
     used_time = time.time() - t_start
     print(f'| UsedTime: {used_time:>7.0f} | SavedDir: {args.cwd}', flush=True)
     evaluator.save_or_load_recorder(if_save=True)
     evaluator.save_training_curve_jpg()
     save_pytree(os.path.join(args.cwd, 'agent.npz'), carry.agent_state)
+    save_pytree(os.path.join(args.cwd, 'train_carry.npz'), carry)
     if args.if_save_buffer and rb is not None:
         rb.save_or_load_history(carry.buf_state, args.cwd, if_save=True)
 

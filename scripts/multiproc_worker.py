@@ -1,0 +1,66 @@
+"""Worker process for the 2-process ``jax.distributed`` integration test.
+
+Each process owns 4 virtual CPU devices; together they form the global
+8-device ``{'dp': 8}`` mesh.  Runs ONE fused PPO round and ONE fused SAC
+(replay-buffer) round sharded over that mesh — the TPU-native analog of the
+reference's multi-GPU learner ring actually executing
+(``/root/reference/elegantrl/train/run.py:165-202``).
+
+Launched by ``tests/test_distributed_multiprocess.py`` as:
+
+    python scripts/multiproc_worker.py <process_id> <num_processes> <port>
+
+Env contract: JAX_PLATFORMS=cpu and
+``XLA_FLAGS=--xla_force_host_platform_device_count=4`` must be set (and the
+axon sitecustomize gate unset) before interpreter start.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    proc_id, num_procs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+    import jax
+
+    from elegantrl_tpu.parallel.distributed import init_distributed
+
+    n_devices = init_distributed(coordinator_address=f"localhost:{port}",
+                                 num_processes=num_procs, process_id=proc_id)
+    assert n_devices == 4 * num_procs, jax.devices()
+    assert jax.process_count() == num_procs
+
+    from __graft_entry__ import _make_args
+    from elegantrl_tpu.agents import AgentSAC
+    from elegantrl_tpu.parallel.mesh import make_mesh
+    from elegantrl_tpu.train.runner import build_training
+
+    mesh = make_mesh({'dp': n_devices})
+
+    ctx = build_training(_make_args(num_envs=2 * n_devices, horizon_len=8,
+                                    batch_size=16), mesh=mesh)
+    carry, metrics = jax.jit(lambda c: ctx.round_fn(c, None))(ctx.carry)
+    jax.block_until_ready(carry)
+    ppo_exp_r = float(metrics['exp_r'])
+
+    sac_args = _make_args(num_envs=2 * n_devices, horizon_len=8, batch_size=16)
+    sac_args.agent_class = AgentSAC
+    sac_args.if_off_policy = True
+    sac_args.buffer_size = 128
+    sac_args.repeat_times = 1.0
+    ctx2 = build_training(sac_args, mesh=mesh)
+    carry2, metrics2 = jax.jit(lambda c: ctx2.round_fn(c, None))(ctx2.carry)
+    jax.block_until_ready(carry2)
+    sac_obj_c = float(metrics2['obj_critic'])
+
+    # every process prints the (replicated) metrics; the test asserts both
+    # processes report identical values -> the mesh really was one program
+    print(f"DISTOK proc={proc_id} ppo_exp_r={ppo_exp_r:.6f} "
+          f"sac_obj_c={sac_obj_c:.6f}", flush=True)
+
+
+if __name__ == '__main__':
+    main()

