@@ -13,3 +13,16 @@ from .s2v_dqn import make_s2v_dqn, s2v_dqn_solve  # noqa: F401
 from .tsp import TSPSimulator, tsp_solve, random_cities  # noqa: F401
 from .attention_tsp import make_attention_tsp, train_attention_tsp  # noqa: F401
 from .l2a import make_l2a, l2a_solve  # noqa: F401
+from .ga import genetic_algorithm  # noqa: F401
+from .coloring import (  # noqa: F401
+    GraphColoringSimulator, color_graph, chromatic_upper_bound,
+)
+from .knapsack import KnapsackSimulator, knapsack_solve, knapsack_dp  # noqa: F401
+from .numberpart import NumberPartitionSimulator  # noqa: F401
+from .problems import (  # noqa: F401
+    Problem, GraphType, make_simulator, supported_problems, min_vertex_cover,
+)
+from .exact import (  # noqa: F401
+    SolverUnavailable, gurobi_solve_maxcut, gurobi_solve_knapsack,
+    scip_solve_maxcut,
+)

@@ -1,0 +1,104 @@
+"""Problem registry: the reference's ``Problem`` enum mapped to simulators.
+
+Mirrors ``rlsolver/methods/config.py:17-30`` (GraphType at :8-11).  Each
+supported problem maps to a batched TPU simulator + default solver;
+``minimum_vertex_cover`` is solved by complement of the MIS simulator
+(a set is a vertex cover iff its complement is independent).  Problems the
+reference declares but only routes to external MILP solvers keep that
+contract here via :mod:`.exact` (which raises cleanly when the backend is
+absent).
+"""
+
+from __future__ import annotations
+
+from enum import Enum, unique
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@unique
+class GraphType(Enum):
+    BA = "BA"   # barabasi_albert
+    ER = "ER"   # erdos_renyi
+    PL = "PL"   # powerlaw
+
+
+@unique
+class Problem(Enum):
+    maxcut = "maxcut"
+    graph_partitioning = "graph_partitioning"
+    number_partitioning = "number_partitioning"
+    minimum_vertex_cover = "minimum_vertex_cover"
+    bilp = "bilp"
+    maximum_independent_set = "maximum_independent_set"
+    knapsack = "knapsack"
+    set_cover = "set_cover"
+    graph_coloring = "graph_coloring"
+    portfolio_allocation = "portfolio_allocation"
+    tnco = "tnco"
+    vrp = "vrp"
+    tsp = "tsp"
+
+
+# problems with a native batched simulator in this package
+_SIMULATED = {
+    Problem.maxcut, Problem.maximum_independent_set, Problem.tsp,
+    Problem.graph_coloring, Problem.knapsack, Problem.number_partitioning,
+    Problem.minimum_vertex_cover,
+}
+
+
+def supported_problems() -> set:
+    return set(_SIMULATED)
+
+
+def make_simulator(problem: Problem, **kwargs):
+    """Build the batched simulator for ``problem``.  kwargs are the
+    problem's natural parameters (edges/num_nodes, values/weights/capacity,
+    numbers, cities, num_colors)."""
+    if isinstance(problem, str):
+        problem = Problem(problem)
+    if problem == Problem.maxcut:
+        from .maxcut import MaxCutSimulator
+        return MaxCutSimulator(kwargs['edges'], kwargs['num_nodes'])
+    if problem in (Problem.maximum_independent_set,
+                   Problem.minimum_vertex_cover):
+        from .mis import MISSimulator
+        return MISSimulator(kwargs['edges'], kwargs['num_nodes'],
+                            penalty=kwargs.get('penalty', 2.0))
+    if problem == Problem.graph_coloring:
+        from .coloring import GraphColoringSimulator
+        return GraphColoringSimulator(kwargs['edges'], kwargs['num_nodes'],
+                                      kwargs['num_colors'])
+    if problem == Problem.knapsack:
+        from .knapsack import KnapsackSimulator
+        return KnapsackSimulator(kwargs['values'], kwargs['weights'],
+                                 kwargs['capacity'],
+                                 penalty=kwargs.get('penalty'))
+    if problem == Problem.number_partitioning:
+        from .numberpart import NumberPartitionSimulator
+        return NumberPartitionSimulator(kwargs['numbers'])
+    if problem == Problem.tsp:
+        from .tsp import TSPSimulator
+        return TSPSimulator(kwargs['cities'])
+    raise NotImplementedError(
+        f"{problem} has no native simulator; the reference routes it to an "
+        f"external MILP solver — see elegantrl_tpu.rlsolver.exact for the "
+        f"optional Gurobi/SCIP wrappers.")
+
+
+def min_vertex_cover(edges: np.ndarray, num_nodes: int, key: jax.Array,
+                     num_sims: int = 512, num_sweeps: int = 32
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Minimum vertex cover via MIS complement: |MVC| = N - |MIS| and the
+    cover is the complement of the independent set."""
+    from .mis import greedy_mis
+    sim = make_simulator(Problem.maximum_independent_set,
+                         edges=edges, num_nodes=num_nodes)
+    mis_size, mis_x = greedy_mis(sim, key, num_sims=num_sims,
+                                 num_sweeps=num_sweeps)
+    cover = 1.0 - mis_x
+    return jnp.asarray(num_nodes, jnp.float32) - mis_size, cover
