@@ -13,3 +13,7 @@ from .lunar_lander import (  # noqa: F401
 )
 from .hopper import HopperEnv, make_hopper  # noqa: F401
 from .host_env import make_host_env  # noqa: F401
+from .gym_parity import (  # noqa: F401
+    get_env_args, gym_env_def, gym_hopper, gym_lunar_lander,
+    gym_lunar_lander_continuous,
+)

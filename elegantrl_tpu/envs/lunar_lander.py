@@ -3,21 +3,27 @@
 Capability match for the reference's LunarLander baselines
 (``examples/demo_DDPG_TD3_SAC.py`` LunarLanderContinuous-v2,
 ``examples/demo_A2C_PPO_discrete.py`` LunarLander-v2).  The original is a
-Box2D rigid-body simulation; this is a faithful *re-derivation* of the
-control problem — same observation layout, action semantics, reward shaping
-and termination rules as gymnasium's implementation — over point-mass +
-rotation dynamics with leg-contact landing, rather than a bit-exact Box2D
-port:
+Box2D rigid-body simulation; this is a re-derivation of the control problem
+over point-mass + rotation dynamics with leg-contact landing, rather than a
+bit-exact Box2D port.
 
-- obs (8,): [x, y, vx, vy, theta, omega, leg1_contact, leg2_contact]
-  with gym's scalings;
-- discrete actions {noop, left engine, main engine, right engine};
-  continuous actions [main in -1..1 (fires if > 0), lateral in -1..1
-  (fires if |a| > 0.5)];
-- reward = shaping delta (-100*dist - 100*speed - 100*|angle|
-  + 10 per leg contact) - fuel (0.3 main / 0.03 side per step);
-  +100 on safe landing, -100 on crash / flying out; episodes truncate
-  at 1000 steps.
+The dynamics are CALIBRATED against gymnasium's Box2D implementation in
+observation units (measured per-step responses on this machine; see
+``scripts/physics_parity.py`` which reproduces the measurement):
+
+- gravity:         d(obs_vy)/step = -0.0267
+- full main:       +0.0372 * throttle along body up   (throttle in [0.5, 1])
+- full side:       +-0.0359/step on obs_omega, 0.0089 lateral on obs_vx
+- integration:     dx = 0.0100 * vx, dy = 0.0225 * vy, dtheta = 0.05 * omega
+  (per step, semi-implicit: velocities update first)
+- reset:           y ~= 1.41, vx ~ U(+-0.84), vy ~ U(+-0.55), omega ~ U(+-0.19)
+
+Observation/action/reward semantics follow gym: obs (8,) = [x, y, vx, vy,
+theta, omega, leg1, leg2]; continuous action [main (fires if > 0, throttle
+0.5 + 0.5a), side (fires if |a| > 0.5)]; discrete {noop, left, main, right};
+reward = shaping delta (-100 dist - 100 speed - 100|theta| + 10/leg)
+- fuel (0.3 main / 0.03 side), +-100 terminal bonus; |x| >= 1 or body
+contact = crash; at-rest leg contact = landed; truncate at 1000 steps.
 """
 
 from __future__ import annotations
@@ -29,19 +35,24 @@ import jax.numpy as jnp
 
 from .base import EnvDef, EnvSpec, VecEnv
 
-_FPS = 50.0
-_DT = 1.0 / _FPS
-_GRAVITY = -10.0
-_MAIN_POWER = 13.0
-_SIDE_POWER = 0.6
-_MASS = 1.0  # full main thrust = 13 vs gravity 10: TWR 1.3, like the game
-_INERTIA = 1.0
-_LEG_DX = 0.18          # leg horizontal offset (normalized units)
-_LEG_DY = -0.26         # leg vertical offset from center
-_INIT_Y = 1.4
-_INIT_FORCE = 8.0       # random initial push, like gym's INITIAL_RANDOM
 _MAX_STEP = 1000
-_VEL_SCALE = 5.0        # obs velocity scaling ~ (VIEWPORT/SCALE/2)/FPS terms
+
+# calibrated per-step deltas in observation units (see module docstring)
+_GRAVITY_DVY = -0.0267
+_MAIN_DV = 0.0372        # at throttle 1.0, along body-up, on the vy channel
+_VXY_RATIO = 0.0089 / 0.00592  # obs_vx and obs_vy use different unit scales
+_SIDE_DVX = 0.0089       # at full side power, lateral, on the vx channel
+_SIDE_DOMEGA = 0.0359
+_DX_PER_VX = 0.0100
+_DY_PER_VY = 0.0225
+_DTHETA_PER_OMEGA = 0.05
+
+_INIT_Y = 1.41
+_INIT_VX = 0.84
+_INIT_VY = 0.55
+_INIT_OMEGA = 0.19
+_LEG_DX = 0.12           # leg horizontal offset in obs units (tilt lever)
+_BODY_CLEARANCE = 0.05   # body touches ground this far below leg contact
 
 
 class LanderState(NamedTuple):
@@ -56,62 +67,61 @@ class LanderState(NamedTuple):
 
 
 def _leg_contacts(x, y, theta):
-    """Leg tip heights; contact when tip at/below ground (y=0)."""
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    tips = []
-    for dx in (-_LEG_DX, _LEG_DX):
-        ly = y + dx * s + _LEG_DY * c
-        tips.append(ly <= 0.0)
-    return tips[0], tips[1]
+    """Leg tip heights; contact when tip at/below ground (obs y = 0 is the
+    pad surface at leg level, matching gym's obs convention)."""
+    s = jnp.sin(theta)
+    return (y - _LEG_DX * s) <= 0.0, (y + _LEG_DX * s) <= 0.0
 
 
 def _shaping(x, y, vx, vy, theta, leg1, leg2):
+    """Gym's shaping, which operates directly on observation values."""
     return (-100.0 * jnp.sqrt(x * x + y * y)
-            - 100.0 * jnp.sqrt(vx * vx + vy * vy) / _VEL_SCALE
+            - 100.0 * jnp.sqrt(vx * vx + vy * vy)
             - 100.0 * jnp.abs(theta)
             + 10.0 * leg1.astype(jnp.float32)
             + 10.0 * leg2.astype(jnp.float32))
 
 
 def _init(key: jax.Array) -> LanderState:
-    k1, k2 = jax.random.split(key)
-    fx = jax.random.uniform(k1, (), jnp.float32, -_INIT_FORCE, _INIT_FORCE)
-    fy = jax.random.uniform(k2, (), jnp.float32, -_INIT_FORCE, _INIT_FORCE)
+    k1, k2, k3 = jax.random.split(key, 3)
     x = jnp.zeros(())
     y = jnp.asarray(_INIT_Y)
-    vx, vy = fx * _DT * 4.0, fy * _DT * 4.0
+    vx = jax.random.uniform(k1, (), jnp.float32, -_INIT_VX, _INIT_VX)
+    vy = jax.random.uniform(k2, (), jnp.float32, -_INIT_VY, _INIT_VY)
+    omega = jax.random.uniform(k3, (), jnp.float32, -_INIT_OMEGA, _INIT_OMEGA)
     l1, l2 = _leg_contacts(x, y, jnp.zeros(()))
     shaping = _shaping(x, y, vx, vy, jnp.zeros(()), l1, l2)
-    return LanderState(x, y, vx, vy, jnp.zeros(()), jnp.zeros(()),
+    return LanderState(x, y, vx, vy, jnp.zeros(()), omega,
                        jnp.zeros((), jnp.int32), shaping)
 
 
 def _obs(s: LanderState) -> jax.Array:
     l1, l2 = _leg_contacts(s.x, s.y, s.theta)
-    return jnp.stack([s.x, s.y, s.vx / _VEL_SCALE, s.vy / _VEL_SCALE,
-                      s.theta, s.omega,
+    return jnp.stack([s.x, s.y, s.vx, s.vy, s.theta, s.omega,
                       l1.astype(jnp.float32), l2.astype(jnp.float32)])
 
 
 def _dynamics(s: LanderState, main: jax.Array, side: jax.Array,
               key: jax.Array):
-    """main in [0,1] (throttle), side in [-1,1] (signed lateral throttle)."""
+    """``main``: throttle in {0} u [0.5, 1]; ``side``: signed throttle in
+    {0} u +-[0.5, 1] (gym's power semantics, applied by the action maps)."""
     del key
     c, sn = jnp.cos(s.theta), jnp.sin(s.theta)
-    # main engine thrusts along the body's up axis
-    fx = -sn * main * _MAIN_POWER
-    fy = c * main * _MAIN_POWER
-    # side engines push laterally and torque the body
-    fx = fx + c * side * _SIDE_POWER * 6.0
-    fy = fy + sn * side * _SIDE_POWER * 6.0
-    torque = -side * _SIDE_POWER * 4.0
+    # main engine along body up; side engines push laterally + torque.
+    # obs_vx and obs_vy are in different unit scales (gym scales by viewport
+    # half-width vs half-height), hence the _VXY_RATIO on cross terms.
+    dvx = (-sn * main * _MAIN_DV * _VXY_RATIO + c * side * _SIDE_DVX)
+    dvy = (c * main * _MAIN_DV + sn * side * _SIDE_DVX / _VXY_RATIO
+           + _GRAVITY_DVY)
+    domega = -side * _SIDE_DOMEGA
 
-    vx = s.vx + (fx / _MASS) * _DT
-    vy = s.vy + (fy / _MASS + _GRAVITY) * _DT
-    omega = s.omega + (torque / _INERTIA) * _DT
-    x = s.x + vx * _DT
-    y = s.y + vy * _DT
-    theta = s.theta + omega * _DT
+    vx = s.vx + dvx
+    vy = s.vy + dvy
+    omega = s.omega + domega
+    # semi-implicit Euler like Box2D: positions integrate the NEW velocities
+    x = s.x + _DX_PER_VX * vx
+    y = s.y + _DY_PER_VY * vy
+    theta = s.theta + _DTHETA_PER_OMEGA * omega
 
     l1, l2 = _leg_contacts(x, y, theta)
     grounded = jnp.logical_or(l1, l2)
@@ -120,6 +130,11 @@ def _dynamics(s: LanderState, main: jax.Array, side: jax.Array,
     vy = jnp.where(grounded & (vy < 0), 0.0, vy)
     vx = jnp.where(grounded, vx * 0.5, vx)
     omega = jnp.where(grounded, omega * 0.5, omega)
+    # legs settle: the body rocks onto both legs (theta decays to 0) like the
+    # Box2D lander coming to rest on its two leg fixtures
+    settling = grounded & (jnp.abs(theta) < 0.4)
+    theta = jnp.where(settling, theta * 0.8, theta)
+    y = jnp.where(settling & (y < 0), 0.0, y)
 
     t = s.t + 1
     new = LanderState(x, y, vx, vy, theta, omega, t, s.prev_shaping)
@@ -131,17 +146,14 @@ def _dynamics(s: LanderState, main: jax.Array, side: jax.Array,
     reward = reward - 0.30 * main - 0.03 * jnp.abs(side)
     new = new._replace(prev_shaping=shaping)
 
-    # termination: a hard or tilted first contact is a crash; a gentle,
-    # upright, at-rest two-leg contact is a safe landing (gym semantics:
-    # body contact / out-of-view = game over, resting = success)
-    was_grounded = jnp.logical_or(*_leg_contacts(s.x, s.y, s.theta))
-    first_contact = grounded & jnp.logical_not(was_grounded)
-    crashed = first_contact & ((vy_impact < -1.2) | (jnp.abs(theta) > 0.4))
-    crashed = crashed | (grounded & (jnp.abs(theta) > 0.4))
-    out = jnp.abs(x) > 1.5
-    landed = (l1 & l2 & (jnp.abs(theta) < 0.2)
-              & (jnp.abs(vx) < 0.05) & (jnp.abs(vy) < 0.05)
-              & (jnp.abs(omega) < 0.05))
+    # termination (gym semantics): body/ground contact or |x| >= 1 = crash;
+    # gentle upright at-rest leg contact = landed
+    body_hit = (y - jnp.abs(_LEG_DX * jnp.sin(theta))) < -_BODY_CLEARANCE
+    crashed = body_hit | (grounded & (jnp.abs(theta) > 0.4))
+    out = jnp.abs(x) >= 1.0
+    landed = (grounded & (jnp.abs(theta) < 0.1)
+              & (jnp.abs(vx) < 0.02) & (jnp.abs(vy) < 0.02)
+              & (jnp.abs(omega) < 0.02))
     terminal = crashed | out | landed
     reward = jnp.where(crashed | out, reward - 100.0, reward)
     reward = jnp.where(landed, reward + 100.0, reward)
@@ -152,12 +164,13 @@ def _dynamics(s: LanderState, main: jax.Array, side: jax.Array,
 def make_lunar_lander(continuous: bool = False) -> EnvDef:
     if continuous:
         def step(s, action, key):
-            # gym semantics: main fires if a0 > 0 with power 0.5+0.5*a0;
-            # side fires if |a1| > 0.5
-            main = jnp.where(action[0] > 0.0, 0.5 + 0.5 * jnp.clip(action[0], 0, 1), 0.0)
+            # gym: main fires if a0 > 0 with throttle 0.5 + 0.5*clip(a0);
+            # side fires if |a1| > 0.5 with throttle clip(|a1|, 0.5, 1)
+            main = jnp.where(action[0] > 0.0,
+                             0.5 + 0.5 * jnp.clip(action[0], 0, 1), 0.0)
             side = jnp.where(jnp.abs(action[1]) > 0.5,
-                             jnp.sign(action[1]) * jnp.abs(jnp.clip(action[1], -1, 1)),
-                             0.0)
+                             jnp.sign(action[1])
+                             * jnp.clip(jnp.abs(action[1]), 0.5, 1.0), 0.0)
             return _dynamics(s, main, side, key)
 
         spec = EnvSpec(env_name='LunarLanderContinuous-v2', num_envs=1,
