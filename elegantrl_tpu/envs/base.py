@@ -64,6 +64,11 @@ class EnvDef(NamedTuple):
     #   init(key, num_envs) -> (state, obs)
     #   step(state, actions, key) -> (state, obs, rewards, terminals, truncates)
     batched: bool = False
+    # optional () -> EnvDef factory producing an INDEPENDENT instance.  Pure
+    # envs are stateless so sharing is free; host-callback envs own a
+    # stateful pool, and the evaluator must not reset/resize the training
+    # pool mid-run — it builds its own instance through this.
+    fresh: Any = None
 
 
 def vec_reset(env: EnvDef, key: PRNGKey, num_envs: int) -> Tuple[EnvState, jax.Array]:

@@ -88,4 +88,5 @@ def make_host_env(env_fn: Callable, spec: EnvSpec, seed: int = 0) -> EnvDef:
             pool.step, out_shapes, actions, ordered=True)
         return state, obs, rewards, terminals, truncates
 
-    return EnvDef(spec=spec, init=init, obs=None, step=step, batched=True)
+    return EnvDef(spec=spec, init=init, obs=None, step=step, batched=True,
+                  fresh=lambda: make_host_env(env_fn, spec, seed=seed + 10007))

@@ -203,7 +203,9 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
         return carry, packed
 
     '''evaluator (reference run.py:79-82)'''
-    eval_env = env
+    # host-callback envs own a stateful pool: the evaluator gets its OWN
+    # instance so eval episodes can't reset/resize the training pool
+    eval_env = env.fresh() if env.fresh is not None else env
     if args.eval_env_class is not None:
         eval_args = Config(args.agent_class, args.eval_env_class,
                            args.eval_env_args or dict(args.env_args))

@@ -10,14 +10,14 @@ import ast, sys
 src = open('scripts/verify_learning.py').read()
 tree = ast.parse(src)
 for node in ast.walk(tree):
-    if isinstance(node, ast.Assign) and getattr(node.targets[0], 'id', '') == 'CONFIGS':
+    if isinstance(node, ast.Assign) and getattr(node.targets[0], 'id', '') in ('CONFIGS', 'SPECIALS'):
         print(' '.join(k.value for k in node.value.keys))
 EOF
 )
 for cfg in $CONFIGS; do
     for attempt in 1 2; do
         echo "=== $cfg (attempt $attempt) ===" >&2
-        timeout 600 python -u scripts/verify_learning.py --only "$cfg" && break
+        timeout 900 python -u scripts/verify_learning.py --only "$cfg" && break
         echo "=== $cfg attempt $attempt failed/timed out ===" >&2
         sleep 60
     done
