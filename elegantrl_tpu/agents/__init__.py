@@ -8,3 +8,4 @@ from .dqn import (  # noqa: F401
 from .embed_dqn import AgentEmbedDQN, AgentEnsembleDQN, make_embed_dqn  # noqa: F401
 from .ddpg_td3 import AgentDDPG, AgentTD3, make_ddpg, make_td3  # noqa: F401
 from .sac import AgentSAC, AgentModSAC, make_sac  # noqa: F401
+from .pixel import AgentPixelPPO, make_pixel_ppo  # noqa: F401

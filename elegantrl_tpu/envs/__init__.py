@@ -17,3 +17,4 @@ from .gym_parity import (  # noqa: F401
     get_env_args, gym_env_def, gym_hopper, gym_lunar_lander,
     gym_lunar_lander_continuous,
 )
+from .pixel_chasing import PixelChasingEnv, make_pixel_chasing  # noqa: F401

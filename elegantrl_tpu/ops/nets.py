@@ -116,12 +116,15 @@ def global_norm(tree: Params) -> jax.Array:
 _CONV_STAGES = {
     224: [(32, 5, 2), (48, 3, 2), (64, 3, 2), (96, 3, 2), (128, 3, 2), (192, 5, 1)],
     112: [(32, 5, 2), (48, 3, 2), (64, 3, 2), (96, 3, 2), (128, 5, 1)],
+    # addition beyond the reference (which only ships 112/224): a small
+    # stage for the pure-JAX pixel envs (envs/pixel_chasing.py)
+    64: [(16, 5, 2), (32, 3, 2), (32, 3, 2), (64, 3, 2), (64, 2, 1)],
 }
 
 
 def convnet_init(key: PRNGKey, inp_dim: int, out_dim: int,
                  image_size: int = 112) -> Params:
-    assert image_size in _CONV_STAGES, "image_size must be 112 or 224"
+    assert image_size in _CONV_STAGES, f"image_size must be one of {sorted(_CONV_STAGES)}"
     stages = _CONV_STAGES[image_size]
     keys = jax.random.split(key, len(stages) + 1)
     params = []

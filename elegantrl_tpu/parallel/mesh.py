@@ -86,8 +86,9 @@ def shard_train_carry(mesh: Mesh, carry: Any, axis: str = 'dp') -> Any:
         for name, val in buf_state._asdict().items():
             if val is None or name in ('ptr', 'size'):
                 new_fields[name] = (val if val is None else _put(mesh, val, P()))
-            elif name == 'per_tree':
-                new_fields[name] = _put(mesh, val, P(axis, None))
+            elif name == 'per_tree':  # per-level arrays, each (num_seqs, L)
+                new_fields[name] = jax.tree.map(
+                    lambda x: _put(mesh, x, P(axis, None)), val)
             else:
                 new_fields[name] = _put(mesh, val, buf_spec(val))
         buf_state = type(buf_state)(**new_fields)

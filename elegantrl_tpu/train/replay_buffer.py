@@ -36,7 +36,7 @@ class BufferState(NamedTuple):
     unmasks: jax.Array   # (M, N)
     ptr: jax.Array       # () int32
     size: jax.Array      # () int32, == cur_size
-    per_tree: Optional[jax.Array] = None  # (N, 2*cap) segment tree, PER only
+    per_tree: Optional[tuple] = None  # per-level segment-tree arrays, PER only
     cum_rewards: Optional[jax.Array] = None  # (M, N) for lambda_fit_cum_r
 
 
@@ -175,8 +175,7 @@ class ReplayBuffer:
             if buf.per_tree is not None:
                 # persist only the (N, max_size) leaf slice; parents are a
                 # deterministic function of the leaves
-                arrays['per_leaves'] = np.asarray(
-                    buf.per_tree[:, self.tree.cap:self.tree.cap + self.max_size])
+                arrays['per_leaves'] = np.asarray(self.tree.leaves(buf.per_tree))
             np.savez_compressed(path, **arrays)
             print(f"| buffer.save_or_load_history(): Save {path}", flush=True)
             return buf

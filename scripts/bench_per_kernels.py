@@ -53,22 +53,38 @@ def measure(fn, *args, iters=50):
     return ts[len(ts) // 2]
 
 
-def bench_shape(max_size, num_seqs, batch):
+def bench_shape(max_size, num_seqs, batch, chain=100):
+    """Times the ops CHAINED inside one jit (lax.scan threading the tree
+    through iterations) so per-dispatch overhead doesn't floor the numbers."""
     from elegantrl_tpu.ops.per import SegmentTree
     tree_def = SegmentTree(max_size, num_seqs)
     key = jax.random.key(0)
     tree = tree_def.init()
-    # fill leaves with positive priorities
     prob = jax.random.uniform(key, (max_size, num_seqs)) + 0.1
     tree = jax.jit(tree_def.update)(tree, jnp.arange(max_size), prob)
-
     sub = batch // num_seqs
-    t_sample = measure(lambda tr: tree_def.sample(tr, key, sub)[0], tree)
+
+    def sample_chain(tree):
+        def body(carry, i):
+            acc = carry
+            ids, prios = tree_def.sample(tree, jax.random.fold_in(key, i), sub)
+            return acc + jnp.sum(prios), None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(chain))
+        return acc
+
+    t_sample = measure(sample_chain, tree, iters=1) / chain
 
     ids0 = jax.random.randint(key, (batch,), 0, max_size)
     ids1 = jax.random.randint(key, (batch,), 0, num_seqs)
-    newp = jax.random.uniform(key, (batch,)) + 0.1
-    t_update = measure(tree_def.update_scattered, tree, ids0, ids1, newp)
+
+    def update_chain(tree):
+        def body(tr, i):
+            p = jax.random.uniform(jax.random.fold_in(key, i), (batch,)) + 0.1
+            return tree_def.update_scattered(tr, ids0, ids1, p), None
+        tr, _ = jax.lax.scan(body, tree, jnp.arange(chain))
+        return tr
+
+    t_update = measure(update_chain, tree, iters=1) / chain
 
     print(f"shape (M={max_size}, N={num_seqs}, B={batch}): "
           f"sample {t_sample*1e6:7.1f} us   update {t_update*1e6:7.1f} us")

@@ -61,8 +61,8 @@ def test_buffer_history_roundtrip_with_per_and_cum_rewards(tmp_path):
     rb.save_or_load_history(buf, str(tmp_path), if_save=True)
     restored = rb.save_or_load_history(rb.init(), str(tmp_path), if_save=False)
 
-    np.testing.assert_allclose(np.asarray(restored.per_tree),
-                               np.asarray(buf.per_tree), rtol=1e-6)
+    for a, b in zip(restored.per_tree, buf.per_tree):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(restored.cum_rewards),
                                np.asarray(buf.cum_rewards))
     np.testing.assert_allclose(np.asarray(restored.states), np.asarray(buf.states))
@@ -75,8 +75,9 @@ def test_segment_tree_from_leaves():
     t = tree_def.init()
     leaves = jax.random.uniform(jax.random.key(1), (3, 10)) + 0.1
     t = tree_def.update(t, jnp.arange(10), leaves.T)
-    rebuilt = tree_def.from_leaves(t[:, tree_def.cap:tree_def.cap + 10])
-    np.testing.assert_allclose(np.asarray(rebuilt), np.asarray(t), rtol=1e-6)
+    rebuilt = tree_def.from_leaves(tree_def.leaves(t))
+    for a, b in zip(rebuilt, t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
 def _tiny_sac_args(cwd, break_step):

@@ -57,7 +57,7 @@ def test_segment_tree_sum_and_sampling():
     tree = st.update(tree, jnp.arange(50), jnp.asarray(probs))
 
     # root equals sum of leaves per seq
-    np.testing.assert_allclose(np.asarray(tree[:, 1]), probs.sum(0), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(st.totals(tree)), probs.sum(0), rtol=1e-4)
 
     # sampling distribution follows priorities
     ids, prios = st.sample(tree, jax.random.key(0), 4096)
@@ -80,8 +80,8 @@ def test_segment_tree_scattered_update_and_min():
     tree = st.update(tree, jnp.arange(8), jnp.full((8, 2), 2.0))
     tree = st.update_scattered(tree, jnp.asarray([1, 3]), jnp.asarray([0, 1]),
                                jnp.asarray([7.0, 0.5]))
-    assert float(tree[0, 1]) == 2.0 * 7 + 7.0   # seq0 total
-    assert float(tree[1, 1]) == 2.0 * 7 + 0.5   # seq1 total
+    assert float(st.totals(tree)[0]) == 2.0 * 7 + 7.0   # seq0 total
+    assert float(st.totals(tree)[1]) == 2.0 * 7 + 0.5   # seq1 total
     mins = np.asarray(st.min_leaf(tree, jnp.asarray(8)))
     np.testing.assert_allclose(mins, [2.0, 0.5])
 
@@ -101,4 +101,4 @@ def test_per_sample_weights():
     # priority update then re-sample must bias toward high-TD rows
     buf = rb.td_error_update_for_per(
         buf, (ids0, ids1), jnp.full((8,), 9.0))
-    assert float(buf.per_tree[0, 1]) > 0
+    assert float(buf.per_tree[0].sum()) > 0
