@@ -15,9 +15,17 @@ for node in ast.walk(tree):
 EOF
 )
 for cfg in $CONFIGS; do
+    # host-env configs step Box2D on the host: every env step would pay the
+    # TPU-tunnel round-trip, so they run on CPU JAX (the env is the
+    # bottleneck, not the net math)
+    if [ "$cfg" = "modsac_lander_host" ]; then
+        ENVV=(env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu)
+    else
+        ENVV=(env)
+    fi
     for attempt in 1 2; do
         echo "=== $cfg (attempt $attempt) ===" >&2
-        timeout 900 python -u scripts/verify_learning.py --only "$cfg" && break
+        timeout 900 "${ENVV[@]}" python -u scripts/verify_learning.py --only "$cfg" && break
         echo "=== $cfg attempt $attempt failed/timed out ===" >&2
         sleep 60
     done
