@@ -53,6 +53,27 @@ def load_market_data(npz_path: Optional[str] = None) -> Tuple[np.ndarray, np.nda
     return synthetic_market_data()
 
 
+_TECH_ID_LIST = ["macd", "boll_ub", "boll_lb", "rsi_30", "cci_30", "dx_30",
+                 "close_30_sma", "close_60_sma"]
+
+
+def dataframe_to_arrays(df, tech_id_list=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Convert the reference's pandas DataFrame layout to (close, tech)
+    arrays with the reference's exact semantics
+    (``StockTradingEnv.load_data_from_disk``, StockTradingEnv.py:113-131):
+    one row per (day, stock); per day the tech vector is TECH-MAJOR —
+    ``[tech0_stock0..tech0_stockS, tech1_stock0..., ...]`` — and close is
+    the per-stock close series."""
+    tech_id_list = _TECH_ID_LIST if tech_id_list is None else tech_id_list
+    close_ary, tech_ary = [], []
+    for day in range(len(df.index.unique())):
+        item = df.loc[day]
+        tech_items = [item[tech].values.tolist() for tech in tech_id_list]
+        tech_ary.append(sum(tech_items, []))
+        close_ary.append(item.close)
+    return (np.array(close_ary, np.float32), np.array(tech_ary, np.float32))
+
+
 def synthetic_market_data(days: int = _SYN_DAYS, stocks: int = _SYN_STOCKS,
                           seed: int = 1943) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic GBM market with simple moving-average/momentum technical

@@ -26,3 +26,5 @@ from .exact import (  # noqa: F401
     SolverUnavailable, gurobi_solve_maxcut, gurobi_solve_knapsack,
     scip_solve_maxcut,
 )
+from .sdp import sdp_maxcut  # noqa: F401
+from .qaoa import qaoa_maxcut  # noqa: F401

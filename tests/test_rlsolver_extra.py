@@ -150,3 +150,31 @@ def test_exact_wrappers_raise_cleanly_when_backend_absent():
             assert 'not installed' in str(e)
         else:   # backend actually present: verify against the known optimum
             assert val == 4.0
+
+
+def test_sdp_maxcut_gw_quality():
+    """Burer-Monteiro SDP + GW rounding: exact on K4, >=0.95x SA on BA-64
+    (GW guarantee is 0.878x OPT; SA is near-opt on these sizes)."""
+    from elegantrl_tpu.rlsolver import sdp_maxcut
+    cut, x = sdp_maxcut(K4, 4, KEY)
+    assert float(cut) == 4.0
+    edges = generate_graph('BA', 64, seed=3)
+    sim = MaxCutSimulator(edges, 64)
+    sdp_cut, sdp_x = sdp_maxcut(edges, 64, KEY)
+    sa_cut, _ = simulated_annealing(sim, KEY, num_sims=128, num_steps=256)
+    assert float(sim.obj(sdp_x[None])[0]) == float(sdp_cut)  # consistent
+    assert float(sdp_cut) >= 0.95 * float(sa_cut), (float(sdp_cut), float(sa_cut))
+
+
+def test_qaoa_maxcut_small_graphs():
+    """Exact statevector QAOA: finds the optimum cut on small graphs and the
+    optimized expectation clearly beats the uniform-state expectation."""
+    from elegantrl_tpu.rlsolver import qaoa_maxcut
+    # C4 ring: optimum cut 4; uniform expectation = |E| / 2 = 2
+    ring = np.array([(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 0, 1)], np.float64)
+    cut, x, exp_c = qaoa_maxcut(ring, 4, KEY, p_layers=3)
+    assert float(cut) == 4.0
+    assert float(exp_c) > 2.5
+    # K4: optimum 4
+    cut4, _, _ = qaoa_maxcut(K4, 4, KEY, p_layers=2)
+    assert float(cut4) == 4.0

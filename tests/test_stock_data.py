@@ -35,3 +35,35 @@ def test_synthetic_data_deterministic():
     np.testing.assert_array_equal(c1, c2)
     assert c1.shape == (1113, 15) and t1.shape == (1113, 120)
     assert (c1 > 0).all()
+
+
+def test_dataframe_conversion_matches_reference_semantics():
+    """The reference converts its per-(day, stock)-row DataFrame with
+    TECH-MAJOR flattening (StockTradingEnv.py:113-131); our
+    dataframe_to_arrays must produce identical arrays."""
+    import pandas as pd
+    from elegantrl_tpu.envs.stock_trading import dataframe_to_arrays
+
+    rng = np.random.default_rng(3)
+    days, stocks = 5, 3
+    techs = ["macd", "boll_ub", "boll_lb", "rsi_30", "cci_30", "dx_30",
+             "close_30_sma", "close_60_sma"]
+    rows = []
+    for d in range(days):
+        for s in range(stocks):
+            row = {'day': d, 'tic': f'S{s}',
+                   'close': float(rng.uniform(5, 50))}
+            row.update({t: float(rng.normal()) for t in techs})
+            rows.append(row)
+    df = pd.DataFrame(rows).set_index('day')
+
+    close, tech = dataframe_to_arrays(df)
+    assert close.shape == (days, stocks)
+    assert tech.shape == (days, stocks * 8)
+    # spot-check tech-major order: first `stocks` entries of a day's tech
+    # vector are macd for every stock, next `stocks` are boll_ub, ...
+    day0 = df.loc[0]
+    np.testing.assert_allclose(tech[0, :stocks], day0['macd'].values, rtol=1e-6)
+    np.testing.assert_allclose(tech[0, stocks:2 * stocks],
+                               day0['boll_ub'].values, rtol=1e-6)
+    np.testing.assert_allclose(close[0], day0['close'].values, rtol=1e-6)
