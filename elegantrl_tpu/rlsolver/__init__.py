@@ -28,3 +28,7 @@ from .exact import (  # noqa: F401
 )
 from .sdp import sdp_maxcut  # noqa: F401
 from .qaoa import qaoa_maxcut  # noqa: F401
+from .partition import GraphPartitionSimulator  # noqa: F401
+from .setcover import SetCoverSimulator  # noqa: F401
+from .bilp import BILPSimulator  # noqa: F401
+from .portfolio import PortfolioSimulator  # noqa: F401

@@ -47,7 +47,8 @@ class Problem(Enum):
 _SIMULATED = {
     Problem.maxcut, Problem.maximum_independent_set, Problem.tsp,
     Problem.graph_coloring, Problem.knapsack, Problem.number_partitioning,
-    Problem.minimum_vertex_cover,
+    Problem.minimum_vertex_cover, Problem.graph_partitioning,
+    Problem.set_cover, Problem.bilp, Problem.portfolio_allocation,
 }
 
 
@@ -84,6 +85,23 @@ def make_simulator(problem: Problem, **kwargs):
     if problem == Problem.tsp:
         from .tsp import TSPSimulator
         return TSPSimulator(kwargs['cities'])
+    if problem == Problem.graph_partitioning:
+        from .partition import GraphPartitionSimulator
+        return GraphPartitionSimulator(kwargs['edges'], kwargs['num_nodes'],
+                                       penalty=kwargs.get('penalty', 2.0))
+    if problem == Problem.set_cover:
+        from .setcover import SetCoverSimulator
+        return SetCoverSimulator(kwargs['membership'],
+                                 penalty=kwargs.get('penalty'))
+    if problem == Problem.bilp:
+        from .bilp import BILPSimulator
+        return BILPSimulator(kwargs['c'], kwargs['a'], kwargs['b'],
+                             penalty=kwargs.get('penalty'))
+    if problem == Problem.portfolio_allocation:
+        from .portfolio import PortfolioSimulator
+        return PortfolioSimulator(kwargs['mu'], kwargs['sigma'], kwargs['k'],
+                                  risk_lambda=kwargs.get('risk_lambda', 1.0),
+                                  penalty=kwargs.get('penalty'))
     raise NotImplementedError(
         f"{problem} has no native simulator; the reference routes it to an "
         f"external MILP solver — see elegantrl_tpu.rlsolver.exact for the "
