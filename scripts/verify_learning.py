@@ -306,11 +306,42 @@ def write_results(rows):
 
 def main():
     import json
+    def _append(row):
+        with open(ROWS_PATH, 'a') as f:
+            f.write(json.dumps(row) + '\n')
+
+    def _done() -> set:
+        try:
+            with open(ROWS_PATH) as f:
+                return {json.loads(line)['name'] for line in f}
+        except FileNotFoundError:
+            return set()
+
     if '--only' in sys.argv:  # run one config, append a JSON row
         name = sys.argv[sys.argv.index('--only') + 1]
         row = SPECIALS[name]() if name in SPECIALS else run(name, *CONFIGS[name])
-        with open(ROWS_PATH, 'a') as f:
-            f.write(json.dumps(row) + '\n')
+        _append(row)
+    elif '--main-set' in sys.argv:
+        # all standard configs in ONE process: one device claim instead of
+        # 22 (each fresh process risks minutes of relay grant recovery);
+        # rows append as they finish so a crash loses only the current one
+        for name, cfg in CONFIGS.items():
+            if name in _done():
+                continue
+            try:
+                _append(run(name, *cfg))
+            except Exception as e:  # keep going; the shell driver retries
+                print(f"| verify {name}: ERROR {type(e).__name__}: {e}",
+                      flush=True)
+    elif '--specials' in sys.argv:
+        for name, fn in SPECIALS.items():
+            if name in _done() or name == 'modsac_lander_host':
+                continue   # host-env config runs separately on CPU JAX
+            try:
+                _append(fn())
+            except Exception as e:
+                print(f"| verify {name}: ERROR {type(e).__name__}: {e}",
+                      flush=True)
     elif '--collect' in sys.argv:  # merge rows -> RESULTS.md
         by_name = {}
         with open(ROWS_PATH) as f:
