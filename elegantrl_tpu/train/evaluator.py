@@ -114,6 +114,7 @@ class Evaluator:
         self.if_over_write = bool(getattr(args, 'if_over_write', False))
         self.recorder_path = os.path.join(cwd, 'recorder.npy')
         self.recorder = []
+        self.recorder_times = []   # wall seconds since start, per recorder row
         self.recorder_step = int(getattr(args, 'eval_record_step', 0))
         self.max_r = -np.inf
         max_step = int(getattr(args, 'max_step', env.spec.max_step))
@@ -180,6 +181,7 @@ class Evaluator:
             logging_tuple[-1], str)) else ''
 
         self.recorder.append((total_step, avg_r, std_r, exp_r, *values))
+        self.recorder_times.append(float(used_time))
         if self.tensorboard is not None:
             self.tensorboard.add_scalar("reward/avg_reward_sample", avg_r, total_step)
             self.tensorboard.add_scalar("reward/std_reward_sample", std_r, total_step)

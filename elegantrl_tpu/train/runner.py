@@ -271,6 +271,7 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
 
     return {
         'recorder': np.array(evaluator.recorder, dtype=np.float64),
+        'recorder_times': np.array(evaluator.recorder_times, dtype=np.float64),
         'agent_state': carry.agent_state,
         'total_step': total_step,
         'used_time': used_time,

@@ -54,10 +54,16 @@ def run(name, agent_class, env_kw, target, hp):
     t0 = time.time()
     r = train_agent(args)
     ok = r['max_r'] >= target
+    # time-to-score: wall seconds (incl compile) to the first eval at or
+    # above target — the reference's headline metric (202 s etc.)
+    tts = next((round(float(t), 1) for rec, t in
+                zip(r['recorder'], r.get('recorder_times', []))
+                if rec[1] >= target), None)
     row = {'name': name, 'agent': agent_class.__name__,
            'env': env_kw['env_args']['env_name'],
            'max_r': round(r['max_r'], 1), 'target': target,
            'steps': r['total_step'], 'seconds': round(time.time() - t0, 1),
+           'tts': tts,
            'steps_per_s': round(r['steps_per_second']), 'ok': ok}
     print(f"| verify {name}: {'PASS' if ok else 'MISS'} "
           f"max_r={row['max_r']} target={target} "
@@ -294,11 +300,14 @@ def write_results(rows):
         f.write("Generated by `scripts/verify_learning.py`. `target` values are\n"
                 "conservative pass thresholds derived from the reference's\n"
                 "expected-score docstrings (see BASELINE.md).\n\n")
-        f.write("| config | agent | env | max avgR | target | steps | time (s) | env-steps/s | pass |\n")
-        f.write("|---|---|---|---|---|---|---|---|---|\n")
+        f.write("| config | agent | env | max avgR | target | steps | time (s) "
+                "| to-target (s) | env-steps/s | pass |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|---|\n")
         for r in rows:
+            tts = r.get('tts')
             f.write(f"| {r['name']} | {r['agent']} | {r['env']} | {r['max_r']} "
                     f"| {r['target']} | {r['steps']:.1e} | {r['seconds']} "
+                    f"| {tts if tts is not None else '-'} "
                     f"| {r['steps_per_s']} | {'PASS' if r['ok'] else 'MISS'} |\n")
     n_pass = sum(r['ok'] for r in rows)
     print(f"| verify_learning: {n_pass}/{len(rows)} PASS -> RESULTS.md", flush=True)
