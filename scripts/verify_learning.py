@@ -226,9 +226,12 @@ def _run_maddpg():
 def _run_qmix(mixer):
     from elegantrl_tpu.marl import make_team_chasing_discrete, train_qmix
     env = make_team_chasing_discrete(num_agents=2, dim=2)
-    _, hist = train_qmix(env, num_envs=64, horizon=64, num_rounds=150,
+    # 32 envs (the CPU-verified scale — Q-learning here is sensitive to the
+    # buffer-refresh ratio, so more envs per update is NOT better) and a
+    # longer schedule
+    _, hist = train_qmix(env, num_envs=32, horizon=64, num_rounds=240,
                          verbose=False, mixer=mixer)
-    return float(max(hist[-3:])), 150 * 64 * 64
+    return float(max(hist[-5:])), 240 * 32 * 64
 
 
 def _run_population():
@@ -246,10 +249,10 @@ def _run_population():
     args.learning_rate = 4e-4
     args.batch_size = 512
     args.cwd = '/tmp/verify_population'
-    r = train_agent_population(args, population_size=8, generations=4,
-                               rounds_per_generation=6, verbose=True)
+    r = train_agent_population(args, population_size=8, generations=6,
+                               rounds_per_generation=12, verbose=True)
     best = float(np.max(r['history'][-1]))
-    steps = 8 * 4 * 6 * 200 * 128
+    steps = 8 * 6 * 12 * 200 * 128
     return best, steps
 
 
@@ -261,13 +264,16 @@ def _run_modsac_lander_host():
     from elegantrl_tpu.train.runner import train_agent
     env = gym_lunar_lander_continuous()
     args = Config(AgentModSAC, env, get_env_args(env, num_envs=16))
-    args.net_dims = (128, 128)
+    # the reference's own recipe (demo_DDPG_TD3_SAC.py:143-155): net 256x256,
+    # batch 1024, gamma 0.99, repeat 1, reward_scale 2^-1, lr 1e-4, 4e5 steps
+    args.net_dims = (256, 256)
     args.gamma = 0.99
     args.horizon_len = 64
     args.buffer_size = int(5e4)
-    args.batch_size = 256
-    args.repeat_times = 0.5
-    args.learning_rate = 3e-4
+    args.batch_size = 1024
+    args.repeat_times = 1.0
+    args.reward_scale = 2 ** -1
+    args.learning_rate = 1e-4
     args.eval_per_step = int(2e4)
     args.eval_times = 8
     args.break_step = int(4e5)
