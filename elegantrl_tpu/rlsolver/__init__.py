@@ -1,6 +1,6 @@
 from .graphs import (  # noqa: F401
     generate_graph, read_graph_txt, write_graph_txt, edges_to_adjacency,
-    write_graph_result,
+    write_graph_result, read_tsplib, write_tsplib, data_path,
 )
 from .maxcut import MaxCutSimulator  # noqa: F401
 from .methods import (  # noqa: F401

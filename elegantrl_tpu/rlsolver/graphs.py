@@ -77,6 +77,63 @@ def write_graph_txt(path: str, num_nodes: int, edges: GraphEdges) -> None:
             f.write(f"{int(i) + 1} {int(j) + 1} {int(w)}\n")
 
 
+def read_tsplib(path: str) -> np.ndarray:
+    """Read a TSPLIB ``.tsp`` file (EUC_2D node coordinates) -> (N, 2)
+    float64 city array, the input format of :class:`tsp.TSPSimulator`.
+
+    Covers the format the reference consumes (``rlsolver/data/tsplib/*.tsp``
+    via ``methods/iSCO/config/config_tsp.py:9``): a keyword header
+    (NAME/TYPE/DIMENSION/EDGE_WEIGHT_TYPE) followed by a
+    ``NODE_COORD_SECTION`` of ``index x y`` lines terminated by ``EOF``.
+    """
+    dimension = None
+    weight_type = 'EUC_2D'
+    coords = {}
+    in_coords = False
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line == 'EOF':
+                continue
+            if in_coords:
+                parts = line.split()
+                coords[int(parts[0])] = (float(parts[1]), float(parts[2]))
+                continue
+            key = line.split(':')[0].strip().upper()
+            if key == 'DIMENSION':
+                dimension = int(line.split(':')[1])
+            elif key == 'EDGE_WEIGHT_TYPE':
+                weight_type = line.split(':')[1].strip().upper()
+            elif line.upper().startswith('NODE_COORD_SECTION'):
+                in_coords = True
+    if weight_type != 'EUC_2D':
+        raise ValueError(f"unsupported EDGE_WEIGHT_TYPE {weight_type} "
+                         f"(only EUC_2D coordinates are supported)")
+    if not coords:
+        raise ValueError(f"no NODE_COORD_SECTION in {path}")
+    n = dimension or len(coords)
+    cities = np.zeros((n, 2), np.float64)
+    for idx, (x, y) in coords.items():
+        cities[idx - 1] = (x, y)
+    return cities
+
+
+def write_tsplib(path: str, cities: np.ndarray, name: str = 'instance') -> None:
+    """Write an (N, 2) city array as a TSPLIB EUC_2D ``.tsp`` file."""
+    cities = np.asarray(cities)
+    with open(path, 'w') as f:
+        f.write(f"NAME: {name}\nTYPE: TSP\nDIMENSION: {len(cities)}\n"
+                f"EDGE_WEIGHT_TYPE: EUC_2D\nNODE_COORD_SECTION\n")
+        for i, (x, y) in enumerate(cities):
+            f.write(f"{i + 1} {x} {y}\n")
+        f.write("EOF\n")
+
+
+def data_path(*parts: str) -> str:
+    """Path into the bundled ``rlsolver/data`` sample-instance directory."""
+    return os.path.join(os.path.dirname(__file__), 'data', *parts)
+
+
 def edges_to_adjacency(edges: GraphEdges, num_nodes: int) -> np.ndarray:
     """(N, N) symmetric float32 adjacency."""
     adj = np.zeros((num_nodes, num_nodes), np.float32)

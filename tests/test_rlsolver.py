@@ -154,3 +154,30 @@ def test_l2a_solves_small_graph():
                        num_transfers=16, num_ls=8)
     assert obj >= 0.9 * float(ls_obj)
     np.testing.assert_allclose(float(sim.obj(x[None])[0]), obj)
+
+
+def test_tsplib_roundtrip_and_bundled_data(tmp_path):
+    from elegantrl_tpu.rlsolver import read_tsplib, write_tsplib, data_path
+    cities = np.array([[0.0, 0.0], [3.5, 0.0], [3.5, 2.0], [0.0, 2.0]])
+    p = str(tmp_path / 'sq.tsp')
+    write_tsplib(p, cities, name='sq')
+    assert np.allclose(read_tsplib(p), cities)
+    # bundled samples load with the same readers as the reference's
+    # gset / tsplib data directories
+    n, edges = read_graph_txt(data_path('syn_BA_64.txt'))
+    assert n == 64 and len(edges) > 0 and edges.min() >= 0
+    bundled = read_tsplib(data_path('rand48.tsp'))
+    assert bundled.shape == (48, 2)
+
+
+def test_tsplib_solve_bundled_instance():
+    from elegantrl_tpu.rlsolver import read_tsplib, data_path
+    from elegantrl_tpu.rlsolver.tsp import TSPSimulator, tsp_solve
+    cities = read_tsplib(data_path('rand48.tsp'))
+    length, tour = tsp_solve(cities, jax.random.PRNGKey(0), num_sims=64,
+                             num_iters=32)
+    sim = TSPSimulator(cities)
+    rand_len = float(jnp.mean(sim.tour_length(
+        sim.rand_tours(jax.random.PRNGKey(1), 64))))
+    assert sorted(np.asarray(tour).tolist()) == list(range(48))
+    assert float(length) < 0.7 * rand_len
