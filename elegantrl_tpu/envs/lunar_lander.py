@@ -147,9 +147,15 @@ def _dynamics(s: LanderState, main: jax.Array, side: jax.Array,
     new = new._replace(prev_shaping=shaping)
 
     # termination (gym semantics): body/ground contact or |x| >= 1 = crash;
-    # gentle upright at-rest leg contact = landed
+    # gentle upright at-rest leg contact = landed.  A hard vertical impact
+    # is also a crash: in Box2D the body's momentum carries it into the
+    # ground through the legs, while this point-mass model zeroes vy at
+    # contact — without this check a policy could slam down at any speed
+    # and still collect the +100 landing bonus (obs vy -0.55 ~= the fastest
+    # survivable Box2D touchdown; free fall reaches ~-1.8)
     body_hit = (y - jnp.abs(_LEG_DX * jnp.sin(theta))) < -_BODY_CLEARANCE
-    crashed = body_hit | (grounded & (jnp.abs(theta) > 0.4))
+    hard_impact = grounded & (vy_impact < -0.55)
+    crashed = body_hit | hard_impact | (grounded & (jnp.abs(theta) > 0.4))
     out = jnp.abs(x) >= 1.0
     landed = (grounded & (jnp.abs(theta) < 0.1)
               & (jnp.abs(vx) < 0.02) & (jnp.abs(vy) < 0.02)

@@ -5,9 +5,10 @@ from .graphs import (  # noqa: F401
 from .maxcut import MaxCutSimulator  # noqa: F401
 from .methods import (  # noqa: F401
     random_search, greedy_local_search, simulated_annealing,
+    greedy_flip_sweeps,
 )
 from .mcpg import mcpg_solve  # noqa: F401
-from .mis import MISSimulator, greedy_mis  # noqa: F401
+from .mis import MISSimulator, VertexCoverSimulator, greedy_mis  # noqa: F401
 from .isco import isco_solve  # noqa: F401
 from .s2v_dqn import make_s2v_dqn, s2v_dqn_solve  # noqa: F401
 from .tsp import TSPSimulator, tsp_solve, random_cities  # noqa: F401

@@ -28,6 +28,8 @@ def genetic_algorithm(sim, key: jax.Array, pop_size: int = 256,
                       local_search_sweeps: int = 2
                       ) -> Tuple[jax.Array, jax.Array]:
     """Returns (best_obj, best_x).  Maximizes ``sim.obj``."""
+    from .methods import _require_maximizer
+    _require_maximizer(sim, 'genetic_algorithm')
     n = sim.num_nodes
     n_elite = max(1, int(pop_size * elite_frac))
     ls = None

@@ -13,12 +13,45 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .maxcut import MaxCutSimulator
+
+def _require_maximizer(sim, driver: str) -> None:
+    """The batched binary drivers below maximize ``sim.obj``; simulators
+    that declare ``if_maximize = False`` (tsp, coloring) have minimizing
+    objectives AND non-binary solution encodings — reject them loudly
+    instead of silently optimizing the wrong direction."""
+    if not getattr(sim, 'if_maximize', True):
+        raise ValueError(
+            f"{driver} maximizes sim.obj over binary solutions; "
+            f"{type(sim).__name__} declares if_maximize=False — use its "
+            f"dedicated solver (local_search / two_opt) instead")
 
 
-def random_search(sim: MaxCutSimulator, key: jax.Array, num_sims: int = 1024,
+def greedy_flip_sweeps(sim, xs: jax.Array, key: jax.Array,
+                       num_sweeps: int = 4,
+                       tie_noise: float = 1e-4) -> jax.Array:
+    """Shared one-flip greedy descent: each sweep, every sim flips its
+    single best-gain variable when that gain is positive.  ``tie_noise``
+    breaks exact gain ties randomly so parallel sims don't move in
+    lockstep (it must stay far below the problem's minimum nonzero gain).
+    This is the ``local_search_sweep`` implementation behind every binary
+    simulator exposing ``flip_gains``."""
+
+    def body(xs, key_t):
+        gains = sim.flip_gains(xs)
+        noise = jax.random.uniform(key_t, gains.shape) * tie_noise
+        best = jnp.argmax(gains + noise, axis=-1)
+        improve = jnp.take_along_axis(gains, best[:, None], -1)[:, 0] > 0
+        flip = jax.nn.one_hot(best, sim.num_nodes) * improve[:, None]
+        return jnp.abs(xs - flip), None
+
+    xs, _ = jax.lax.scan(body, xs, jax.random.split(key, num_sweeps))
+    return xs
+
+
+def random_search(sim, key: jax.Array, num_sims: int = 1024,
                   num_rounds: int = 8) -> Tuple[jax.Array, jax.Array]:
     """Best of num_sims * num_rounds uniform random solutions."""
+    _require_maximizer(sim, 'random_search')
 
     def body(carry, key_t):
         best_obj, best_x = carry
@@ -35,17 +68,18 @@ def random_search(sim: MaxCutSimulator, key: jax.Array, num_sims: int = 1024,
     return best_obj, best_x
 
 
-def greedy_local_search(sim: MaxCutSimulator, key: jax.Array,
+def greedy_local_search(sim, key: jax.Array,
                         num_sims: int = 1024, num_iters: int = 64
                         ) -> Tuple[jax.Array, jax.Array]:
     """Random restarts + greedy flip local search to a local optimum."""
+    _require_maximizer(sim, 'greedy_local_search')
     k1, k2 = jax.random.split(key)
     xs = sim.rand_xs(k1, num_sims)
     xs = sim.local_search_sweep(xs, k2, num_sweeps=num_iters)
     return sim.best(xs)
 
 
-def simulated_annealing(sim: MaxCutSimulator, key: jax.Array,
+def simulated_annealing(sim, key: jax.Array,
                         num_sims: int = 1024, num_steps: int = 512,
                         t0: float = 2.0, t1: float = 1e-2
                         ) -> Tuple[jax.Array, jax.Array]:
@@ -53,6 +87,7 @@ def simulated_annealing(sim: MaxCutSimulator, key: jax.Array,
     node flip and accepts with ``min(1, exp(gain / T))`` on a geometric
     temperature schedule (reference ``methods/simulated_annealing.py``
     behavior, vectorized)."""
+    _require_maximizer(sim, 'simulated_annealing')
     k_init, k_run = jax.random.split(key)
     xs = sim.rand_xs(k_init, num_sims)
     temps = t0 * (t1 / t0) ** (jnp.arange(num_steps) / max(num_steps - 1, 1))

@@ -46,6 +46,13 @@ class MISSimulator:
     def num_conflicts(self, xs: jax.Array) -> jax.Array:
         return jnp.sum((xs @ self.adj) * xs, axis=-1) / 2.0
 
+    @partial(jax.jit, static_argnums=0)
+    def flip_gains(self, xs: jax.Array) -> jax.Array:
+        """Penalized-objective delta of flipping each node: adding node i
+        gains ``1 - penalty * (selected neighbors)``, removing the mirror."""
+        nbr_sel = xs @ self.adj
+        return (1.0 - 2.0 * xs) * (1.0 - self.penalty * nbr_sel)
+
     @partial(jax.jit, static_argnums=(0, 3))
     def local_search(self, xs: jax.Array, key: jax.Array,
                      num_sweeps: int = 16) -> jax.Array:
@@ -72,6 +79,48 @@ class MISSimulator:
                          jnp.sum(xs, axis=-1), -jnp.inf)
         i = jnp.argmax(objs)
         return objs[i], xs[i]
+
+
+class VertexCoverSimulator:
+    """Minimum vertex cover in complement space: a set is a cover iff its
+    complement is independent, so every operation delegates to
+    :class:`MISSimulator` on ``1 - xs``.  Solutions returned by this class
+    are COVER indicator vectors; ``obj`` is a maximized penalized objective
+    (``-|cover| - penalty * uncovered_edges``) so the generic drivers
+    (SA/GA/greedy) work unchanged, and ``best`` reports the smallest valid
+    cover with its (positive) size."""
+
+    def __init__(self, edges: np.ndarray, num_nodes: int, penalty: float = 2.0):
+        self._mis = MISSimulator(edges, num_nodes, penalty=penalty)
+        self.num_nodes = self._mis.num_nodes
+        self.if_maximize = True
+
+    def rand_xs(self, key: jax.Array, num_sims: int) -> jax.Array:
+        return 1.0 - self._mis.rand_xs(key, num_sims)
+
+    def obj(self, xs: jax.Array) -> jax.Array:
+        return self._mis.obj(1.0 - xs) - self.num_nodes
+
+    def num_uncovered(self, xs: jax.Array) -> jax.Array:
+        """Edges with neither endpoint in the cover."""
+        return self._mis.num_conflicts(1.0 - xs)
+
+    def flip_gains(self, xs: jax.Array) -> jax.Array:
+        # flipping cover bit i flips complement bit i; the objectives
+        # differ by the constant N, so the gains are identical
+        return self._mis.flip_gains(1.0 - xs)
+
+    def local_search(self, xs: jax.Array, key: jax.Array,
+                     num_sweeps: int = 16) -> jax.Array:
+        return 1.0 - self._mis.local_search(1.0 - xs, key,
+                                            num_sweeps=num_sweeps)
+
+    def best(self, xs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Smallest VALID cover's size (inf if no sim covers every edge)."""
+        sizes = jnp.where(self.num_uncovered(xs) == 0,
+                          jnp.sum(xs, axis=-1), jnp.inf)
+        i = jnp.argmin(sizes)
+        return sizes[i], xs[i]
 
 
 def greedy_mis(sim: MISSimulator, key: jax.Array, num_sims: int = 512,

@@ -60,16 +60,8 @@ class GraphPartitionSimulator:
     @partial(jax.jit, static_argnums=(0, 3))
     def local_search_sweep(self, xs: jax.Array, key: jax.Array,
                            num_sweeps: int = 4) -> jax.Array:
-        def body(xs, key_t):
-            gains = self.flip_gains(xs)
-            noise = jax.random.uniform(key_t, gains.shape) * 1e-4
-            best = jnp.argmax(gains + noise, axis=-1)
-            improve = jnp.take_along_axis(gains, best[:, None], -1)[:, 0] > 0
-            flip = jax.nn.one_hot(best, self.num_nodes) * improve[:, None]
-            return jnp.abs(xs - flip), None
-
-        xs, _ = jax.lax.scan(body, xs, jax.random.split(key, num_sweeps))
-        return xs
+        from .methods import greedy_flip_sweeps
+        return greedy_flip_sweeps(self, xs, key, num_sweeps)
 
     def best(self, xs: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """Best BALANCED partition's cut (inf if none balanced)."""

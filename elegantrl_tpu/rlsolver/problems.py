@@ -65,11 +65,16 @@ def make_simulator(problem: Problem, **kwargs):
     if problem == Problem.maxcut:
         from .maxcut import MaxCutSimulator
         return MaxCutSimulator(kwargs['edges'], kwargs['num_nodes'])
-    if problem in (Problem.maximum_independent_set,
-                   Problem.minimum_vertex_cover):
+    if problem == Problem.maximum_independent_set:
         from .mis import MISSimulator
         return MISSimulator(kwargs['edges'], kwargs['num_nodes'],
                             penalty=kwargs.get('penalty', 2.0))
+    if problem == Problem.minimum_vertex_cover:
+        # complement-space wrapper: solutions/objectives are in COVER space
+        # (the raw MIS simulator would hand back independent sets)
+        from .mis import VertexCoverSimulator
+        return VertexCoverSimulator(kwargs['edges'], kwargs['num_nodes'],
+                                    penalty=kwargs.get('penalty', 2.0))
     if problem == Problem.graph_coloring:
         from .coloring import GraphColoringSimulator
         return GraphColoringSimulator(kwargs['edges'], kwargs['num_nodes'],

@@ -5,11 +5,16 @@ earn its keep, or retire the effort with numbers).
 Measures, at the production PER shape (OFFPOL_PEND verify config with
 if_use_per: buffer 1e6 x 8 seqs, batch 256):
 
-- tree.sample (stratified descent, 20 gather levels)
-- tree.update_scattered (leaf set + 20-level propagate)
+- tree.sample (stratified descent over the CURRENT in-tree layout: 2-level
+  fanout-256 wide tree — one (S, 256) cumsum-scan per level instead of the
+  retired binary tree's 20 serial gather levels)
+- tree.update_scattered (leaf scatter + wide-node re-reduction)
 - one full DDPG PER objectives step (sample + critic + actor + PER update)
 
 and the same for a small-buffer shape (4e3) where trees are VMEM-sized.
+The historical binary-layout rows quoted in docs/performance.md were
+measured with the pre-redesign SegmentTree (git history) and are not
+reproducible from this script alone.
 
 Run on TPU: ``python scripts/bench_per_kernels.py``
 """

@@ -41,7 +41,18 @@ EOF
 for cfg in $MISSING; do
     for attempt in 1 2; do
         echo "=== retry $cfg (attempt $attempt) ===" >&2
-        timeout 900 python -u scripts/verify_learning.py --only "$cfg" && break
+        # host-env configs must retry on CPU JAX too (env steps on the
+        # host; TPU would pay the tunnel RTT per step), with a budget
+        # matched to their known runtime (~27 min), not the TPU one
+        case "$cfg" in
+            *_host)
+                timeout 3600 env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+                    python -u scripts/verify_learning.py --only "$cfg" && break
+                ;;
+            *)
+                timeout 900 python -u scripts/verify_learning.py --only "$cfg" && break
+                ;;
+        esac
         sleep 60
     done
 done

@@ -159,9 +159,9 @@ CONFIGS = {
                                        'state_dim': 8, 'action_dim': 4,
                                        'if_discrete': True}}, 0,
                          dict(net_dims=(256, 256), horizon_len=64,
-                              buffer_size=int(4e3), batch_size=256,
-                              learning_rate=5e-4, explore_rate=0.1,
-                              eval_per_step=int(1e5), break_step=int(1.5e6))),
+                              buffer_size=int(8e3), batch_size=256,
+                              learning_rate=5e-4, explore_rate=0.2,
+                              eval_per_step=int(2e5), break_step=int(8e6))),
     # BASELINE config 3: off-policy on Hopper-style control x1k envs
     'td3_hopper': (AgentTD3,
                    {'env_class': HopperEnv,
@@ -183,6 +183,27 @@ CONFIGS = {
                         buffer_size=int(4e3), batch_size=1024,
                         repeat_times=4.0, learning_rate=3e-4,
                         eval_per_step=int(4e5), break_step=int(6e6))),
+    'ddpg_hopper': (AgentDDPG,
+                    {'env_class': HopperEnv,
+                     'env_args': {'env_name': 'HopperSlip-v0',
+                                  'num_envs': 1024, 'max_step': 1000,
+                                  'state_dim': 6, 'action_dim': 2,
+                                  'if_discrete': False}}, 1000,
+                    dict(net_dims=(128, 128), gamma=0.99, horizon_len=32,
+                         buffer_size=int(4e3), batch_size=1024,
+                         repeat_times=4.0, learning_rate=3e-4,
+                         eval_per_step=int(4e5), break_step=int(6e6))),
+    # BASELINE config 4: stock trading at 4k envs on 1 host
+    'ppo_stock_4k': (AgentPPO,
+                     {'env_class': StockTradingVecEnv,
+                      'env_args': {'env_name': 'StockTradingEnv-v2',
+                                   'num_envs': 4096, 'max_step': 1112,
+                                   'state_dim': 151, 'action_dim': 15,
+                                   'if_discrete': False}}, 100.0,
+                     dict(net_dims=(128, 128), gamma=0.99, horizon_len=128,
+                          repeat_times=64, learning_rate=2e-4,
+                          batch_size=4096, eval_per_step=int(4e6),
+                          break_step=int(2e7))),
     # BASELINE north-star scale config on one chip: 16k vectorized envs
     # (the multi-host version of this is validated by dryrun_multichip +
     # the 2-process jax.distributed test; only 1 real chip exists here)

@@ -177,3 +177,25 @@ def test_auto_reset_inside_vec_step():
             assert np.all(t[np.asarray(term)] == 0)
             break
     assert saw_terminal
+
+
+def test_lunar_lander_hard_impact_is_crash_not_landing():
+    """Slamming down fast must terminate as a crash (-100), not collect the
+    +100 landing bonus — the point-mass model zeroes vy at contact, so
+    without the impact-velocity check any descent speed would 'land'."""
+    env = make_lunar_lander(continuous=True)
+    state, obs = vec_reset(env, jax.random.key(3), 4)
+    # pin a vertical hard-descent state just above the pad
+    state = state._replace(
+        x=jnp.zeros_like(state.x), y=jnp.full_like(state.y, 0.05),
+        vx=jnp.zeros_like(state.vx), vy=jnp.full_like(state.vy, -0.8),
+        theta=jnp.zeros_like(state.theta), omega=jnp.zeros_like(state.omega))
+    key = jax.random.key(4)
+    for _ in range(8):   # a few steps to reach the pad from y=0.05
+        key, sub = jax.random.split(key)
+        state, obs, r, term, trunc = vec_step(
+            env, state, jnp.full((4, 2), -1.0), sub)
+        if bool(np.asarray(term).all()):
+            break
+    assert bool(np.asarray(term).all())
+    assert np.asarray(r).max() < -50.0

@@ -112,3 +112,54 @@ def test_registry_covers_new_problems():
         assert p in supported_problems()
     sim = make_simulator('set_cover', membership=np.eye(4))
     assert isinstance(sim, SetCoverSimulator)
+
+
+def test_vertex_cover_registry_returns_cover_space():
+    """make_simulator(minimum_vertex_cover) must hand back COVER solutions,
+    not raw independent sets (the MIS complement)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from elegantrl_tpu.rlsolver import Problem, make_simulator
+    # path 0-1-2: minimum cover = {1}, size 1
+    edges = np.array([[0, 1, 1.0], [1, 2, 1.0]])
+    sim = make_simulator(Problem.minimum_vertex_cover, edges=edges, num_nodes=3)
+    key = jax.random.PRNGKey(0)
+    xs = sim.local_search(sim.rand_xs(key, 256), jax.random.PRNGKey(1))
+    size, cover = sim.best(xs)
+    assert float(size) == 1.0
+    assert np.allclose(np.asarray(cover), [0, 1, 0])
+    # every edge must have a covered endpoint
+    assert float(sim.num_uncovered(cover[None])[0]) == 0.0
+    # the maximized obj is -|cover| for valid covers
+    assert float(sim.obj(cover[None])[0]) == -1.0
+
+
+def test_generic_drivers_reject_minimizing_sims():
+    import jax
+    import numpy as np
+    import pytest
+    from elegantrl_tpu.rlsolver import (make_simulator, Problem,
+                                        simulated_annealing,
+                                        genetic_algorithm)
+    edges = np.array([[0, 1, 1.0], [1, 2, 1.0]])
+    coloring = make_simulator(Problem.graph_coloring, edges=edges,
+                              num_nodes=3, num_colors=2)
+    with pytest.raises(ValueError, match="if_maximize"):
+        simulated_annealing(coloring, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="if_maximize"):
+        genetic_algorithm(coloring, jax.random.PRNGKey(0))
+
+
+def test_vertex_cover_with_generic_sa():
+    """The cover wrapper plugs into the generic maximizing drivers."""
+    import jax
+    import numpy as np
+    from elegantrl_tpu.rlsolver import Problem, make_simulator, simulated_annealing
+    # star: center 0 covers all 4 edges -> optimum cover size 1, obj -1
+    edges = np.array([[0, i, 1.0] for i in range(1, 5)])
+    sim = make_simulator(Problem.minimum_vertex_cover, edges=edges, num_nodes=5)
+    obj, x = simulated_annealing(sim, jax.random.PRNGKey(0), num_sims=128,
+                                 num_steps=256)
+    assert float(sim.num_uncovered(x[None])[0]) == 0.0
+    assert float(obj) == -1.0
