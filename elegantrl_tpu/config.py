@@ -81,6 +81,9 @@ class Config:
         self.random_seed = None      # None -> derived from gpu_id like the reference
         self.mesh_axes = None        # e.g. {'dp': 8} to shard the env axis; None = single device
         self.compute_dtype = 'float32'  # 'bfloat16' to run matmuls in bf16 on the MXU
+        # persistent XLA compilation cache: None -> default dir (or
+        # $ELEGANTRL_TPU_CACHE_DIR); '' disables.  See utils/compile_cache.py
+        self.compilation_cache_dir = None
 
         '''evaluation'''
         self.cwd = None

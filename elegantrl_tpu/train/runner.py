@@ -87,6 +87,8 @@ def build_training(args: Config, mesh=None) -> TrainContext:
     Shared by ``train_agent``, the benchmark harness and the multi-chip
     dry-run.  When ``mesh`` is given the carry is sharded env-axis
     data-parallel (see ``elegantrl_tpu.parallel.mesh``)."""
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache(getattr(args, 'compilation_cache_dir', None))
     env = _resolve_env_def(args)
     spec = env.spec
     if args.state_dim is None:

@@ -29,3 +29,14 @@ def test_sol_report_classifies_bound():
     r2 = sol_report(flops=1e9, hbm_bytes=1e11, seconds=0.5, chip='v5e')
     assert r2.bound == 'bandwidth'
     assert 'SOL' in str(r2)
+
+
+def test_compilation_cache_idempotent(tmp_path, monkeypatch):
+    from elegantrl_tpu.utils import compile_cache
+    monkeypatch.setattr(compile_cache, '_enabled', False)
+    d = str(tmp_path / 'xla_cache')
+    assert compile_cache.enable_compilation_cache(d) == d
+    assert compile_cache.enable_compilation_cache(d) == d   # idempotent
+    monkeypatch.setattr(compile_cache, '_enabled', False)
+    monkeypatch.setenv('ELEGANTRL_TPU_CACHE_DIR', '')
+    assert compile_cache.enable_compilation_cache(None) is None  # disabled
