@@ -15,6 +15,7 @@ from .tsp import TSPSimulator, tsp_solve, random_cities  # noqa: F401
 from .attention_tsp import make_attention_tsp, train_attention_tsp  # noqa: F401
 from .l2a import make_l2a, l2a_solve  # noqa: F401
 from .ga import genetic_algorithm  # noqa: F401
+from .vrp import VRPTWSimulator, vrptw_solve, random_vrptw  # noqa: F401
 from .coloring import (  # noqa: F401
     GraphColoringSimulator, color_graph, chromatic_upper_bound,
 )

@@ -129,6 +129,60 @@ def write_tsplib(path: str, cities: np.ndarray, name: str = 'instance') -> None:
         f.write("EOF\n")
 
 
+def read_solomon(path: str) -> dict:
+    """Read a Solomon VRPTW instance (the format of the reference's
+    ``rlsolver/data/solomon-instances/c101.txt``): name line, VEHICLE
+    section (``NUMBER CAPACITY``), CUSTOMER table of
+    ``id x y demand ready due service`` rows (row 0 = depot).
+
+    Returns ``{'name', 'num_vehicles', 'capacity', 'xy' (N,2),
+    'demand' (N,), 'ready' (N,), 'due' (N,), 'service' (N,)}`` with the
+    depot at index 0.
+    """
+    name = None
+    vehicle_next = False
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if name is None:
+                name = parts[0]
+                continue
+            if parts[0] == 'VEHICLE':
+                continue
+            if parts[0] == 'NUMBER':
+                vehicle_next = True
+                continue
+            if vehicle_next:
+                num_vehicles, capacity = int(parts[0]), float(parts[1])
+                vehicle_next = False
+                continue
+            if parts[0] in ('CUSTOMER', 'CUST'):
+                continue
+            if len(parts) == 7 and parts[0].isdigit():
+                rows.append([float(v) for v in parts])
+    arr = np.array(sorted(rows, key=lambda r: r[0]), np.float64)
+    return {'name': name, 'num_vehicles': num_vehicles, 'capacity': capacity,
+            'xy': arr[:, 1:3], 'demand': arr[:, 3], 'ready': arr[:, 4],
+            'due': arr[:, 5], 'service': arr[:, 6]}
+
+
+def write_solomon(path: str, inst: dict) -> None:
+    """Write an instance dict (see :func:`read_solomon`) in Solomon format."""
+    with open(path, 'w') as f:
+        f.write(f"{inst['name']}\n\nVEHICLE\nNUMBER     CAPACITY\n"
+                f"  {inst['num_vehicles']}         {int(inst['capacity'])}\n\n"
+                f"CUSTOMER\nCUST NO.  XCOORD.   YCOORD.    DEMAND   "
+                f"READY TIME  DUE DATE   SERVICE   TIME\n \n")
+        for i in range(len(inst['xy'])):
+            f.write(f"    {i}      {inst['xy'][i][0]:g}         "
+                    f"{inst['xy'][i][1]:g}          {inst['demand'][i]:g}"
+                    f"          {inst['ready'][i]:g}       {inst['due'][i]:g}"
+                    f"          {inst['service'][i]:g}   \n")
+
+
 def data_path(*parts: str) -> str:
     """Path into the bundled ``rlsolver/data`` sample-instance directory."""
     return os.path.join(os.path.dirname(__file__), 'data', *parts)

@@ -49,6 +49,7 @@ _SIMULATED = {
     Problem.graph_coloring, Problem.knapsack, Problem.number_partitioning,
     Problem.minimum_vertex_cover, Problem.graph_partitioning,
     Problem.set_cover, Problem.bilp, Problem.portfolio_allocation,
+    Problem.vrp,
 }
 
 
@@ -102,6 +103,9 @@ def make_simulator(problem: Problem, **kwargs):
         from .bilp import BILPSimulator
         return BILPSimulator(kwargs['c'], kwargs['a'], kwargs['b'],
                              penalty=kwargs.get('penalty'))
+    if problem == Problem.vrp:
+        from .vrp import VRPTWSimulator
+        return VRPTWSimulator(kwargs['instance'])
     if problem == Problem.portfolio_allocation:
         from .portfolio import PortfolioSimulator
         return PortfolioSimulator(kwargs['mu'], kwargs['sigma'], kwargs['k'],
