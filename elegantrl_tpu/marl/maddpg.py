@@ -178,6 +178,8 @@ def make_maddpg(env: MultiAgentEnvDef, net_dims=(128, 128),
 
 def train_maddpg(env: MultiAgentEnvDef, num_envs: int = 16,
                  num_rounds: int = 80, seed: int = 0, verbose: bool = True):
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     init, train_round, evaluate = make_maddpg(env, num_envs=num_envs)
     key = jax.random.key(seed)
     k1, key = jax.random.split(key)

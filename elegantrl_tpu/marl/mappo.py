@@ -171,6 +171,8 @@ def train_mappo(env: MultiAgentEnvDef, args=None, num_envs: int = 64,
                 horizon: int = 128, batch_size: int = 512,
                 repeat_times: int = 16, num_rounds: int = 40,
                 seed: int = 0, verbose: bool = True):
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     init, train_round, evaluate, _ = make_mappo(env, args=args)
     key = jax.random.key(seed)
     k1, k2, key = jax.random.split(key, 3)

@@ -205,6 +205,8 @@ def make_qmix(env: MultiAgentEnvDef, net_dims=(64, 64), mix_dim: int = 32,
 def train_qmix(env: MultiAgentEnvDef, num_envs: int = 32, horizon: int = 64,
                num_rounds: int = 100, seed: int = 0, verbose: bool = True,
                mixer: str = 'qmix'):
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     init, init_buffer, train_round, evaluate = make_qmix(env, mixer=mixer)
     key = jax.random.key(seed)
     k1, k2, key = jax.random.split(key, 3)

@@ -25,6 +25,9 @@ from elegantrl_tpu.envs import (
     LunarLanderEnv, PointChasingVecEnv, StockTradingVecEnv,
 )
 from elegantrl_tpu.train.runner import train_agent
+from elegantrl_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 QUICK = len(sys.argv) > 1 and sys.argv[1] == 'quick'
 SCALE = 0.25 if QUICK else 1.0
