@@ -281,10 +281,10 @@ def _run_population():
     args.learning_rate = 4e-4
     args.batch_size = 512
     args.cwd = '/tmp/verify_population'
-    r = train_agent_population(args, population_size=8, generations=6,
+    r = train_agent_population(args, population_size=8, generations=8,
                                rounds_per_generation=12, verbose=True)
     best = float(np.max(r['history'][-1]))
-    steps = 8 * 6 * 12 * 200 * 128
+    steps = 8 * 8 * 12 * 200 * 128
     return best, steps
 
 
