@@ -57,12 +57,33 @@ def supported_problems() -> set:
     return set(_SIMULATED)
 
 
+_REQUIRED_KWARGS = {
+    Problem.maxcut: ('edges', 'num_nodes'),
+    Problem.maximum_independent_set: ('edges', 'num_nodes'),
+    Problem.minimum_vertex_cover: ('edges', 'num_nodes'),
+    Problem.graph_coloring: ('edges', 'num_nodes', 'num_colors'),
+    Problem.knapsack: ('values', 'weights', 'capacity'),
+    Problem.number_partitioning: ('numbers',),
+    Problem.tsp: ('cities',),
+    Problem.graph_partitioning: ('edges', 'num_nodes'),
+    Problem.set_cover: ('membership',),
+    Problem.bilp: ('c', 'a', 'b'),
+    Problem.vrp: ('instance',),
+    Problem.portfolio_allocation: ('mu', 'sigma', 'k'),
+}
+
+
 def make_simulator(problem: Problem, **kwargs):
     """Build the batched simulator for ``problem``.  kwargs are the
     problem's natural parameters (edges/num_nodes, values/weights/capacity,
-    numbers, cities, num_colors)."""
+    numbers, cities, num_colors, instance, ...)."""
     if isinstance(problem, str):
         problem = Problem(problem)
+    missing = [k for k in _REQUIRED_KWARGS.get(problem, ()) if k not in kwargs]
+    if missing:
+        raise TypeError(
+            f"make_simulator({problem}) missing required kwargs {missing}; "
+            f"expects {_REQUIRED_KWARGS[problem]}")
     if problem == Problem.maxcut:
         from .maxcut import MaxCutSimulator
         return MaxCutSimulator(kwargs['edges'], kwargs['num_nodes'])

@@ -137,8 +137,13 @@ def test_problem_registry():
     sim_c = make_simulator(Problem.graph_coloring, edges=K4, num_nodes=4,
                            num_colors=4)
     assert isinstance(sim_c, GraphColoringSimulator)
-    with pytest.raises(NotImplementedError):
+    # vrp gained a native simulator (rlsolver/vrp.py) — missing kwargs now
+    # fail with a clear TypeError naming what is expected
+    with pytest.raises(TypeError, match='instance'):
         make_simulator(Problem.vrp)
+    # tnco remains external-solver-only in the reference and here
+    with pytest.raises(NotImplementedError):
+        make_simulator(Problem.tnco)
 
 
 def test_exact_wrappers_raise_cleanly_when_backend_absent():
