@@ -16,6 +16,8 @@ from .attention_tsp import make_attention_tsp, train_attention_tsp  # noqa: F401
 from .l2a import make_l2a, l2a_solve  # noqa: F401
 from .ga import genetic_algorithm  # noqa: F401
 from .vrp import VRPTWSimulator, vrptw_solve, random_vrptw  # noqa: F401
+from .tnco import (TNCOSimulator, tnco_greedy, tnco_anneal,  # noqa: F401
+                   matrix_chain, matrix_chain_dp, random_tn, grid_tn)
 from .coloring import (  # noqa: F401
     GraphColoringSimulator, color_graph, chromatic_upper_bound,
 )

@@ -49,7 +49,7 @@ _SIMULATED = {
     Problem.graph_coloring, Problem.knapsack, Problem.number_partitioning,
     Problem.minimum_vertex_cover, Problem.graph_partitioning,
     Problem.set_cover, Problem.bilp, Problem.portfolio_allocation,
-    Problem.vrp,
+    Problem.vrp, Problem.tnco,
 }
 
 
@@ -70,6 +70,7 @@ _REQUIRED_KWARGS = {
     Problem.bilp: ('c', 'a', 'b'),
     Problem.vrp: ('instance',),
     Problem.portfolio_allocation: ('mu', 'sigma', 'k'),
+    Problem.tnco: ('bonds_log2',),
 }
 
 
@@ -127,6 +128,10 @@ def make_simulator(problem: Problem, **kwargs):
     if problem == Problem.vrp:
         from .vrp import VRPTWSimulator
         return VRPTWSimulator(kwargs['instance'])
+    if problem == Problem.tnco:
+        from .tnco import TNCOSimulator
+        return TNCOSimulator(kwargs['bonds_log2'],
+                             open_log2=kwargs.get('open_log2'))
     if problem == Problem.portfolio_allocation:
         from .portfolio import PortfolioSimulator
         return PortfolioSimulator(kwargs['mu'], kwargs['sigma'], kwargs['k'],

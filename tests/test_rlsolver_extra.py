@@ -141,9 +141,8 @@ def test_problem_registry():
     # fail with a clear TypeError naming what is expected
     with pytest.raises(TypeError, match='instance'):
         make_simulator(Problem.vrp)
-    # tnco remains external-solver-only in the reference and here
-    with pytest.raises(NotImplementedError):
-        make_simulator(Problem.tnco)
+    # every reference Problem enum member now has a native simulator
+    assert supported_problems() == set(Problem)
 
 
 def test_exact_wrappers_raise_cleanly_when_backend_absent():
