@@ -30,6 +30,7 @@ import sys
 import time
 
 NUM_ENVS = 4096
+PEAK_ENVS = 65536
 HORIZON = 64
 ROUNDS = 200
 HORIZON2 = 2048
@@ -81,9 +82,9 @@ def child():
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    def measure(horizon, rounds, reps=3):
-        args = _make_args(num_envs=NUM_ENVS, horizon_len=horizon,
-                          batch_size=BATCH)
+    def measure(horizon, rounds, reps=3, num_envs=NUM_ENVS, batch=BATCH):
+        args = _make_args(num_envs=num_envs, horizon_len=horizon,
+                          batch_size=batch)
         ctx = build_training(args)
 
         @partial(jax.jit, static_argnums=1)
@@ -111,6 +112,11 @@ def child():
     updates_per_round = max(1, int(HORIZON2 * REPEAT / BATCH))
     ups2 = ROUNDS2 * updates_per_round / dt2
 
+    # peak-scale config: same fused round at 65,536 envs (batch scaled with
+    # envs) — the env-axis scaling sweet spot from docs/performance.md
+    dt3 = measure(HORIZON, 50, num_envs=PEAK_ENVS, batch=BATCH * PEAK_ENVS // NUM_ENVS)
+    sps3 = 50 * PEAK_ENVS * HORIZON / dt3
+
     # analytic speed-of-light for the primary config (net (128,128), S=3, A=1)
     S, A, D = 3, 1, 128
     actor_dims, critic_dims = (S, D, D, A), (S, D, D, 1)
@@ -133,6 +139,7 @@ def child():
         "vs_baseline": round(sps1 / BASELINE_STEPS_PER_SEC, 2),
         "cfg2_env_steps_per_s": round(sps2, 1),
         "updates_per_s": round(ups2, 2),
+        "peak_env_steps_per_s_65536envs": round(sps3, 1),
         "sol_compute_util": round(sol.compute_util, 4),
         "sol_hbm_util": round(sol.bandwidth_util, 4),
         "sol_bound": sol.bound,

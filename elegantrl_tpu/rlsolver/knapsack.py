@@ -22,10 +22,16 @@ import numpy as np
 
 
 class KnapsackSimulator:
-    """max v.x  s.t.  w.x <= capacity, x in {0,1}^N — with linear penalty
-    ``penalty * relu(w.x - capacity)`` so infeasible intermediate states are
-    searchable (penalty > max(v_i/w_i) guarantees penalized optimum is
-    feasible)."""
+    """max v.x  s.t.  w.x <= capacity, x in {0,1}^N.
+
+    Penalized objective = ``v.x - penalty * relu(w.x - C) - B * (w.x > C)``
+    where ``B = sum(v) + 1``.  The step term makes EVERY infeasible solution
+    strictly worse than the (always feasible) empty set, so the penalized
+    optimum is guaranteed feasible regardless of value/weight scales; the
+    linear term with ``penalty >= 2 * max(v_i/w_i)`` keeps a slope toward
+    feasibility (dropping any item from a still-infeasible state is a
+    positive flip gain).  Flip gains are exact discrete deltas, so the step
+    costs nothing."""
 
     def __init__(self, values: np.ndarray, weights: np.ndarray,
                  capacity: float, penalty: float = None):
@@ -37,6 +43,7 @@ class KnapsackSimulator:
             penalty = 2.0 * float(np.max(np.asarray(values)
                                          / np.maximum(np.asarray(weights), 1e-9)))
         self.penalty = float(penalty)
+        self.infeasible_penalty = float(np.sum(np.asarray(values))) + 1.0
         self.if_maximize = True
 
     def rand_xs(self, key: jax.Array, num_sims: int) -> jax.Array:
@@ -48,7 +55,8 @@ class KnapsackSimulator:
     def obj(self, xs: jax.Array) -> jax.Array:
         value = xs @ self.values
         over = jnp.maximum(xs @ self.weights - self.capacity, 0.0)
-        return value - self.penalty * over
+        return (value - self.penalty * over
+                - self.infeasible_penalty * (over > 0.0))
 
     @partial(jax.jit, static_argnums=0)
     def feasible_value(self, xs: jax.Array) -> jax.Array:
@@ -66,7 +74,10 @@ class KnapsackSimulator:
         pen_old = jnp.maximum(w_tot - self.capacity, 0.0)
         pen_new = jnp.maximum(new_w - self.capacity, 0.0)
         return (sign * self.values[None, :]
-                - self.penalty * (pen_new - pen_old))
+                - self.penalty * (pen_new - pen_old)
+                - self.infeasible_penalty
+                * ((pen_new > 0.0).astype(jnp.float32)
+                   - (pen_old > 0.0).astype(jnp.float32)))
 
     @partial(jax.jit, static_argnums=(0, 3))
     def local_search_sweep(self, xs: jax.Array, key: jax.Array,

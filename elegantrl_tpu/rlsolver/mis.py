@@ -73,6 +73,9 @@ class MISSimulator:
         xs, _ = jax.lax.scan(body, xs, jax.random.split(key, num_sweeps))
         return xs
 
+    # generic-driver entry point (methods.greedy_local_search)
+    local_search_sweep = local_search
+
     def best(self, xs: jax.Array) -> Tuple[jax.Array, jax.Array]:
         # only count independent solutions
         objs = jnp.where(self.num_conflicts(xs) == 0,
@@ -114,6 +117,9 @@ class VertexCoverSimulator:
                      num_sweeps: int = 16) -> jax.Array:
         return 1.0 - self._mis.local_search(1.0 - xs, key,
                                             num_sweeps=num_sweeps)
+
+    # generic-driver entry point (methods.greedy_local_search)
+    local_search_sweep = local_search
 
     def best(self, xs: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """Smallest VALID cover's size (inf if no sim covers every edge)."""

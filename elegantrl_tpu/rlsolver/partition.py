@@ -25,9 +25,17 @@ from .graphs import edges_to_adjacency
 
 class GraphPartitionSimulator:
     def __init__(self, edges: np.ndarray, num_nodes: int,
-                 penalty: float = 2.0):
+                 penalty: float = None):
         self.num_nodes = int(num_nodes)
-        self.adj = jnp.asarray(edges_to_adjacency(edges, num_nodes))
+        adj = np.asarray(edges_to_adjacency(edges, num_nodes))
+        self.adj = jnp.asarray(adj)
+        if penalty is None:
+            # moving one node across changes imbalance by 2 and cut by at
+            # most its weighted degree, so penalty > max_degree/2 makes every
+            # imbalanced state improvable toward balance — the penalized
+            # optimum is balanced on ANY edge-weight scale (a fixed constant
+            # fails on weighted graphs: all-one-side becomes the optimum)
+            penalty = max(1.0, float(adj.sum(axis=1).max()))
         self.penalty = float(penalty)
         self.if_maximize = True
 

@@ -267,7 +267,16 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
     evaluator.save_or_load_recorder(if_save=True)
     evaluator.save_training_curve_jpg()
     save_pytree(os.path.join(args.cwd, 'agent.npz'), carry.agent_state)
-    save_pytree(os.path.join(args.cwd, 'train_carry.npz'), carry)
+    # full-carry checkpoint enables bitwise resume (continue_train).  For
+    # off-policy runs the carry contains the whole replay ring, so writing it
+    # follows the reference's if_save_buffer contract (run.py:352-357) —
+    # set if_save_buffer=True (or continue_train) to make the run resumable.
+    # Multi-process meshes skip it: non-addressable shards can't be fetched.
+    save_carry = (rb is None or args.if_save_buffer or args.continue_train)
+    addressable = all(getattr(x, 'is_fully_addressable', True)
+                      for x in jax.tree.leaves(carry))
+    if save_carry and addressable:
+        save_pytree(os.path.join(args.cwd, 'train_carry.npz'), carry)
     if args.if_save_buffer and rb is not None:
         rb.save_or_load_history(carry.buf_state, args.cwd, if_save=True)
 

@@ -18,26 +18,29 @@ from __future__ import annotations
 
 import os
 
-_enabled = False
+_active_dir: str | None = None
+_configured = False
 
 
 def enable_compilation_cache(path: str | None = None) -> str | None:
-    """Idempotently enable the persistent compilation cache.  Returns the
-    cache directory, or None if disabled via an empty ``path`` /
-    ``ELEGANTRL_TPU_CACHE_DIR=``."""
-    global _enabled
+    """Idempotently enable (or re-point, or disable) the persistent
+    compilation cache.  Returns the active cache directory, or None when
+    disabled via an empty ``path`` / ``ELEGANTRL_TPU_CACHE_DIR=``.  A repeat
+    call with a different directory re-points the cache rather than being
+    silently ignored."""
+    global _active_dir, _configured
     if path is None:
         path = os.environ.get(
             'ELEGANTRL_TPU_CACHE_DIR',
             os.path.join(os.path.expanduser('~'), '.cache',
                          'elegantrl_tpu', 'xla'))
-    if not path:
-        return None
-    if _enabled:
-        return path
+    path = path or None
+    if _configured and path == _active_dir:
+        return _active_dir
     import jax
     jax.config.update('jax_compilation_cache_dir', path)
-    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
-    _enabled = True
-    return path
+    if path is not None:
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+    _active_dir, _configured = path, True
+    return _active_dir

@@ -109,7 +109,9 @@ def test_resume_equivalence(tmp_path):
     # break=768 -> 4 iterations and break=256 -> 2 iterations (2+2 == 4)
     straight = train_agent(_tiny_sac_args(str(tmp_path / 'a'), break_step=768))
 
-    first = train_agent(_tiny_sac_args(str(tmp_path / 'b'), break_step=256))
+    first_args = _tiny_sac_args(str(tmp_path / 'b'), break_step=256)
+    first_args.if_save_buffer = True   # opt in to the full-carry checkpoint
+    first = train_agent(first_args)
     resumed_args = _tiny_sac_args(str(tmp_path / 'b'), break_step=256)
     resumed_args.continue_train = True
     resumed_args.if_remove = False

@@ -8,15 +8,6 @@ import pytest
 gym = pytest.importorskip('gymnasium')
 
 
-def _pd_policy(o):
-    x, y, vx, vy, th, om = o[:6]
-    angle_targ = np.clip(0.4 * x + 1.0 * vx, -0.4, 0.4)
-    vy_targ = -0.25 * max(y, 0.0) - 0.02
-    a0 = np.clip(8.0 * (vy_targ - vy), -1, 1)
-    a1 = np.clip(-(6.0 * (angle_targ - th) - 3.0 * om), -1, 1)
-    return np.array([a0, a1], np.float32)
-
-
 def test_per_step_calibration_matches_box2d():
     """The calibrated constants in envs/lunar_lander.py must match gym's
     Box2D responses within 2% (gravity, main, side torque)."""
@@ -28,44 +19,15 @@ def test_per_step_calibration_matches_box2d():
 def test_pd_controller_lands_in_both_sims():
     """The same scripted controller must land reliably in BOTH sims with
     comparable returns — behavioral parity, the meaningful check for a
-    re-derived (not bit-exact) physics env."""
+    re-derived (not bit-exact) physics env.  Uses the single episode-rollout
+    implementation in scripts/physics_parity.py."""
+    from scripts.physics_parity import gym_episodes, jax_episodes
     n = 8
-
-    e = gym.make('LunarLanderContinuous-v3')
-    gym_rets, gym_lands = [], 0
-    for ep in range(n):
-        o, _ = e.reset(seed=100 + ep)
-        R = 0.0
-        for _ in range(1000):
-            o, r, term, trunc, _ = e.step(_pd_policy(o))
-            R += r
-            if term or trunc:
-                gym_lands += r > 50
-                break
-        gym_rets.append(R)
-    e.close()
-
-    from elegantrl_tpu.envs.lunar_lander import make_lunar_lander
-    env = make_lunar_lander(True)
-    step = jax.jit(env.step)
-    jax_rets, jax_lands = [], 0
-    for ep in range(n):
-        s = env.init(jax.random.key(100 + ep))
-        R = 0.0
-        for t in range(1000):
-            o = np.asarray(env.obs(s))
-            s, r, term, trunc = step(s, jnp.asarray(_pd_policy(o)),
-                                     jax.random.key(t))
-            R += float(r)
-            if bool(term) or bool(trunc):
-                jax_lands += float(r) > 50
-                break
-        jax_rets.append(R)
-
-    assert gym_lands >= n - 1, gym_rets
-    assert jax_lands >= n - 1, jax_rets
-    assert abs(np.mean(gym_rets) - np.mean(jax_rets)) < 80, \
-        (np.mean(gym_rets), np.mean(jax_rets))
+    gym_mean, _, gym_lands, _ = gym_episodes(n)
+    jax_mean, _, jax_lands, _ = jax_episodes(n)
+    assert gym_lands >= n - 1, gym_mean
+    assert jax_lands >= n - 1, jax_mean
+    assert abs(gym_mean - jax_mean) < 80, (gym_mean, jax_mean)
 
 
 def test_gym_env_def_factories():

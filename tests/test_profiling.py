@@ -32,11 +32,18 @@ def test_sol_report_classifies_bound():
 
 
 def test_compilation_cache_idempotent(tmp_path, monkeypatch):
+    import jax
+
     from elegantrl_tpu.utils import compile_cache
-    monkeypatch.setattr(compile_cache, '_enabled', False)
+    monkeypatch.setattr(compile_cache, '_configured', False)
+    monkeypatch.setattr(compile_cache, '_active_dir', None)
     d = str(tmp_path / 'xla_cache')
     assert compile_cache.enable_compilation_cache(d) == d
     assert compile_cache.enable_compilation_cache(d) == d   # idempotent
-    monkeypatch.setattr(compile_cache, '_enabled', False)
+    # a later call with a DIFFERENT dir re-points the cache (not ignored)
+    d2 = str(tmp_path / 'xla_cache2')
+    assert compile_cache.enable_compilation_cache(d2) == d2
+    assert jax.config.jax_compilation_cache_dir == d2
     monkeypatch.setenv('ELEGANTRL_TPU_CACHE_DIR', '')
     assert compile_cache.enable_compilation_cache(None) is None  # disabled
+    assert jax.config.jax_compilation_cache_dir is None

@@ -163,3 +163,29 @@ def test_vertex_cover_with_generic_sa():
                                  num_steps=256)
     assert float(sim.num_uncovered(x[None])[0]) == 0.0
     assert float(obj) == -1.0
+
+
+def test_knapsack_infeasible_item_rejected():
+    """Scale-free feasibility guarantee: an item slightly over capacity with
+    huge value must NOT survive the penalized search (regression: the linear
+    penalty alone made obj([1]) = 80 > 0 here, and knapsack_solve returned
+    value=-inf on the infeasible argmax)."""
+    from elegantrl_tpu.rlsolver import KnapsackSimulator, knapsack_solve
+    sim = KnapsackSimulator(values=[100.0], weights=[10.0], capacity=9.0)
+    assert float(sim.obj(jnp.asarray([[1.0]]))[0]) < 0.0  # dominated by empty
+    v, x = knapsack_solve(sim, KEY, num_sims=32, num_generations=8)
+    assert float(v) == 0.0 and float(x[0]) == 0.0
+
+
+def test_partition_penalty_scales_with_edge_weights():
+    """Weighted star with edge weight 10 >> the old fixed penalty 2.0: the
+    default penalty must still make the penalized optimum balanced
+    (regression: all-one-side 'partitions' won and best() returned inf)."""
+    edges = np.array([(0, i, 10.0) for i in range(1, 8)])
+    sim = GraphPartitionSimulator(edges, 8)
+    xs = sim.local_search_sweep(sim.rand_xs(KEY, 64), jax.random.key(1))
+    cut, x = sim.best(xs)
+    assert np.isfinite(float(cut))
+    assert float(sim.imbalance(x[None])[0]) == 0.0
+    # star: any balanced split has exactly 4 or 3 center-leaf cut edges * 10
+    assert float(cut) in (30.0, 40.0)
