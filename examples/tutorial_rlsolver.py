@@ -68,7 +68,18 @@ def main():
     exact = knapsack_dp(values.astype(int), weights.astype(int), 400)
     print(f"[knapsack n=64] GA {float(ga_val):.1f} vs exact DP {float(exact):.1f}")
 
-    # 5) Result file, reference util_result.write_graph_result style
+    # 5) Tensor-network contraction ordering (TNCO): SA over edge priorities
+    #    finds the exact matrix-chain DP optimum (reference env_l2a_TNCO.py
+    #    imports a simulator absent from its tree — here it runs)
+    from elegantrl_tpu.rlsolver import (matrix_chain, matrix_chain_dp,
+                                        tnco_anneal)
+    dims = [32, 2, 64, 4, 128, 2]
+    tsim = matrix_chain(dims)
+    sa_log2, _ = tnco_anneal(tsim, key, num_sims=256, num_steps=128)
+    print(f"[tnco matrix-chain] SA {2.0 ** float(sa_log2):.0f} multiplies "
+          f"vs exact DP {matrix_chain_dp(dims):.0f}")
+
+    # 6) Result file, reference util_result.write_graph_result style
     out = write_graph_result(float(m), 0.0, 128, 'mcpg', np.asarray(x),
                              '/tmp/rlsolver_tutorial/maxcut_BA128')
     print(f"result file written: {out}")
