@@ -1,6 +1,7 @@
 from .base import AgentDef, Rollout  # noqa: F401
 from .ppo import (  # noqa: F401
-    AgentPPO, AgentA2C, AgentDiscretePPO, AgentDiscreteA2C, make_ppo,
+    AgentPPO, AgentA2C, AgentDiscretePPO, AgentDiscreteA2C, AgentPPOHterm,
+    make_ppo,
 )
 from .dqn import (  # noqa: F401
     AgentDQN, AgentDoubleDQN, AgentDuelingDQN, AgentD3QN, make_dqn,

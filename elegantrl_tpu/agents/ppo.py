@@ -44,14 +44,51 @@ class PPOState(NamedTuple):
     norm_std: jax.Array  # (S,)
 
 
+class HtermBuffer(NamedTuple):
+    """Device-resident rehearsal ring of high-return k-step windows.
+
+    The reference's H-term (``AgentPPOHterm``) is a README-headline feature
+    ("~6x faster than SB3 on Hopper", README.md:153, docs/source/tutorial/
+    hterm.rst) whose implementation is absent from the reference snapshot —
+    only stale entry scripts remain (``examples/plan_PPO_H.py:53-57`` records
+    the hyper-parameters: h_term_drop_rate, h_term_lambda, h_term_k_step).
+    Semantics per the H-term paper: rehearse k-step sub-trajectories from
+    high-return experience, adding a return-weighted likelihood term to the
+    actor objective.  TPU-native redesign: a fixed-shape ring buffer updated
+    by vectorized scatter; each update inserts every env's best window
+    (per-env argmax over GAE targets) — no Python-side trajectory splitting.
+    """
+    states: jax.Array    # (K, k, S)
+    actions: jax.Array   # (K, k, A)
+    masks: jax.Array     # (K, k)  within-episode validity (stops at terminal)
+    returns: jax.Array   # (K,)    GAE target at the window start (quality label)
+    ptr: jax.Array       # ()
+    count: jax.Array     # ()
+
+
+class PPOHtermState(NamedTuple):
+    act: dict
+    cri: list
+    act_opt: tuple
+    cri_opt: tuple
+    norm_avg: jax.Array
+    norm_std: jax.Array
+    h_buf: HtermBuffer
+
+
 def _norm_state(obs, avg, std):
     return (obs - avg) / (std + 1e-4)
 
 
 def make_ppo(net_dims, state_dim: int, action_dim: int, args,
-             buffer=None, discrete: bool = False, a2c: bool = False) -> AgentDef:
+             buffer=None, discrete: bool = False, a2c: bool = False,
+             hterm: bool = False) -> AgentDef:
     """Factory. ``args`` is a Config-like object read via getattr (the
     reference reads hypers the same way, AgentPPO.py:27-32)."""
+    if hterm and (discrete or a2c):
+        raise ValueError('H-term is supported for continuous PPO only '
+                         '(the reference exercises it on MuJoCo control, '
+                         'examples/plan_PPO_H.py)')
     gamma = float(getattr(args, 'gamma', 0.99))
     lr = float(getattr(args, 'learning_rate', 6e-5))
     clip_grad = float(getattr(args, 'clip_grad_norm', 3.0))
@@ -70,6 +107,12 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
     batch_size = int(getattr(args, 'batch_size', 128))
     repeat_times = float(getattr(args, 'repeat_times', 8.0))
     compute_dtype = jnp.bfloat16 if str(getattr(args, 'compute_dtype', 'float32')) == 'bfloat16' else None
+    # H-term hypers: names/defaults per the reference's surviving entry script
+    # (examples/plan_PPO_H.py:53-57).
+    h_term_lambda = float(getattr(args, 'h_term_lambda', 2 ** -3))
+    h_term_drop_rate = float(getattr(args, 'h_term_drop_rate', 2 ** -2))
+    h_term_k_step = int(getattr(args, 'h_term_k_step', 16))
+    h_term_buffer_size = int(getattr(args, 'h_term_buffer_size', 2 ** 12))
 
     optimizer = make_optimizer(lr, clip_grad)
     net_dims = tuple(net_dims)
@@ -81,10 +124,20 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
         if not discrete:
             act['std_log'] = jnp.zeros((1, action_dim), jnp.float32)
         cri = mlp_init(k2, (state_dim, *net_dims, 1), out_std=0.5)
-        return PPOState(
+        base = PPOState(
             act=act, cri=cri,
             act_opt=optimizer.init(act), cri_opt=optimizer.init(cri),
             norm_avg=jnp.zeros(state_dim), norm_std=jnp.ones(state_dim))
+        if not hterm:
+            return base
+        K, k = h_term_buffer_size, h_term_k_step
+        h_buf = HtermBuffer(
+            states=jnp.zeros((K, k, state_dim)),
+            actions=jnp.zeros((K, k, action_dim)),
+            masks=jnp.zeros((K, k)),
+            returns=jnp.zeros((K,)),
+            ptr=jnp.zeros((), jnp.int32), count=jnp.zeros((), jnp.int32))
+        return PPOHtermState(*base, h_buf=h_buf)
 
     def actor_forward(act, norm_avg, norm_std, obs):
         x = _norm_state(obs, norm_avg, norm_std)
@@ -145,11 +198,62 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
         reward_sums = advantages + values
         advantages = gae.normalize_advantages(advantages)
 
+        '''H-term rehearsal buffer: insert each env's best k-step window
+        (quality = GAE target at the window start), then precompute the
+        return-normalisation bounds used as rehearsal weights.'''
+        if hterm:
+            h_buf: HtermBuffer = s.h_buf
+            K = h_term_buffer_size
+            k_step = min(h_term_k_step, horizon_len)
+            q = reward_sums[:horizon_len - k_step + 1]          # (Hq, N)
+            t0 = jnp.argmax(q, axis=0)                          # (N,)
+            labels = jnp.take_along_axis(q, t0[None], axis=0)[0]
+            env_ids = jnp.arange(num_envs)[None, :]
+            t_idx = t0[None, :] + jnp.arange(k_step)[:, None]   # (k, N)
+            w_states = states[t_idx, env_ids]                   # (k, N, S)
+            w_actions = actions[t_idx, env_ids]                 # (k, N, A)
+            und = undones[t_idx, env_ids]                       # (k, N)
+            # validity stops after the first terminal inside the window
+            w_masks = jnp.concatenate(
+                [jnp.ones((1, num_envs)), jnp.cumprod(und, axis=0)[:-1]], 0)
+            slot = (h_buf.ptr + jnp.arange(num_envs)) % K
+            h_buf = h_buf._replace(
+                states=h_buf.states.at[slot].set(w_states.transpose(1, 0, 2)),
+                actions=h_buf.actions.at[slot].set(w_actions.transpose(1, 0, 2)),
+                masks=h_buf.masks.at[slot].set(w_masks.T),
+                returns=h_buf.returns.at[slot].set(labels),
+                ptr=(h_buf.ptr + num_envs) % K,
+                count=jnp.minimum(h_buf.count + num_envs, K))
+            filled = jnp.arange(K) < h_buf.count
+            r_min = jnp.min(jnp.where(filled, h_buf.returns, jnp.inf))
+            r_max = jnp.max(jnp.where(filled, h_buf.returns, -jnp.inf))
+            h_batch = max(1, int(batch_size * h_term_drop_rate))
+
+            def h_objective(ap, key_h):
+                """Return-weighted likelihood of rehearsed windows
+                (maximised): the H-term proper."""
+                ids = jax.random.randint(
+                    key_h, (h_batch,), 0, jnp.maximum(h_buf.count, 1))
+                hs = h_buf.states[ids]                          # (B, k, S)
+                out = mlp_apply(ap['mlp'],
+                                _norm_state(hs, s.norm_avg, s.norm_std),
+                                dtype=compute_dtype)
+                std_a = jnp.exp(ap['std_log'])
+                lp = jnp.sum(dists.normal_logprob(
+                    h_buf.actions[ids], out, std_a), axis=-1)   # (B, k)
+                hm = h_buf.masks[ids]
+                lp_mean = jnp.sum(lp * hm, 1) / jnp.maximum(jnp.sum(hm, 1), 1.0)
+                w = (h_buf.returns[ids] - r_min) / (r_max - r_min + 1e-6)
+                valid = (ids < h_buf.count).astype(jnp.float32)
+                return jnp.sum(lp_mean * w * valid) / jnp.maximum(
+                    jnp.sum(valid), 1.0)
+
         '''minibatch SGD scan, reference AgentPPO.py:159-205'''
         update_times = max(1, int(horizon_len * repeat_times / batch_size))
 
         def minibatch(carry, key_t):
             act, cri, act_opt, cri_opt = carry
+            key_t, key_h = jax.random.split(key_t)
             if a2c:  # A2C samples whole time-slices (AgentPPO.py:296-302)
                 ids0 = jax.random.randint(key_t, (batch_size,), 0, horizon_len)
                 state = states[ids0]
@@ -192,8 +296,10 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
                                              1.0 + ratio_clip))
                 obj_surrogate = jnp.mean(surrogate * unmask)
                 obj_entropy = jnp.mean(entropy * unmask)
-                return -(obj_surrogate - obj_entropy * lambda_entropy), \
-                    (obj_surrogate, obj_entropy)
+                loss = -(obj_surrogate - obj_entropy * lambda_entropy)
+                if hterm:
+                    loss = loss - h_term_lambda * h_objective(ap, key_h)
+                return loss, (obj_surrogate, obj_entropy)
 
             (_, (obj_surrogate, obj_entropy)), g_act = \
                 jax.value_and_grad(act_loss_fn, has_aux=True)(act)
@@ -218,12 +324,18 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
         metrics = {'obj_critic': jnp.mean(obj_c),
                    'obj_actor': jnp.mean(obj_a),
                    'obj_entropy': jnp.mean(obj_e)}
-        new_state = PPOState(act, cri, act_opt, cri_opt, norm_avg, norm_std)
+        if hterm:
+            new_state = PPOHtermState(act, cri, act_opt, cri_opt,
+                                      norm_avg, norm_std, h_buf)
+        else:
+            new_state = PPOState(act, cri, act_opt, cri_opt,
+                                 norm_avg, norm_std)
         return new_state, metrics
 
     name = ('AgentDiscreteA2C' if (discrete and a2c) else
             'AgentDiscretePPO' if discrete else
-            'AgentA2C' if a2c else 'AgentPPO')
+            'AgentA2C' if a2c else
+            'AgentPPOHterm' if hterm else 'AgentPPO')
     return AgentDef(name=name, if_off_policy=False, if_discrete=discrete,
                     init=init, explore_action=explore_action,
                     greedy_action=greedy_action, env_action=env_action,
@@ -245,3 +357,17 @@ class AgentDiscretePPO:
 
 class AgentDiscreteA2C:
     make = staticmethod(partial(make_ppo, discrete=True, a2c=True))
+
+
+class AgentPPOHterm:
+    """PPO + H-term (high-return k-step rehearsal regulariser).
+
+    Completes the reference's claims-level feature: ``AgentPPOHterm`` is
+    imported by ``examples/plan_PPO_H.py:6`` and headlined in README.md:153
+    ("~6x faster than SB3 on Hopper") but its implementation is absent from
+    the reference snapshot.  Hypers: ``h_term_lambda`` (2**-3),
+    ``h_term_drop_rate`` (2**-2), ``h_term_k_step`` (16),
+    ``h_term_buffer_size`` (2**12).
+    """
+    make = staticmethod(partial(make_ppo, discrete=False, a2c=False,
+                                hterm=True))

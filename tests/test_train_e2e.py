@@ -112,3 +112,31 @@ def test_ppo_hopper_learns_to_move(tmp_path):
     args.cwd = str(tmp_path / 'hopper')
     r = train_agent(args)
     assert r['max_r'] > 800, r['recorder'][:, 1]
+
+
+def test_ppo_hterm_pendulum_improves(tmp_path):
+    """AgentPPOHterm (high-return k-step rehearsal): trains end-to-end and
+    improves; the rehearsal ring must fill and carry finite return labels."""
+    from elegantrl_tpu.agents import AgentPPOHterm
+    args = Config(agent_class=AgentPPOHterm, env_class=PendulumEnv,
+                  env_args={'env_name': 'Pendulum-v1', 'num_envs': 8,
+                            'max_step': 200, 'state_dim': 3, 'action_dim': 1,
+                            'if_discrete': False})
+    args.net_dims = (64, 64)
+    args.gamma = 0.97
+    args.horizon_len = 400
+    args.repeat_times = 32
+    args.learning_rate = 4e-4
+    args.eval_per_step = 8192
+    args.eval_times = 8
+    args.break_step = 64000
+    args.h_term_buffer_size = 512
+    args.h_term_k_step = 8
+    args.cwd = str(tmp_path / 'ppoh')
+    r = train_agent(args)
+    assert r['max_r'] > -450, r['recorder'][:, 1]
+    h_buf = r['agent_state'].h_buf
+    # one window per env per update round
+    count = int(h_buf.count)
+    assert count > 0 and count % 8 == 0 and count <= 512
+    assert np.all(np.isfinite(np.asarray(h_buf.returns)))
