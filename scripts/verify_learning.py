@@ -19,6 +19,7 @@ from elegantrl_tpu.agents import (
     AgentPPO, AgentA2C, AgentDiscretePPO, AgentDiscreteA2C, AgentDQN,
     AgentDoubleDQN, AgentDuelingDQN, AgentD3QN, AgentEmbedDQN,
     AgentEnsembleDQN, AgentDDPG, AgentTD3, AgentSAC, AgentModSAC,
+    AgentPPOHterm,
 )
 from elegantrl_tpu.envs import (
     PendulumEnv, CartPoleEnv, HopperEnv, LunarLanderContinuousEnv,
@@ -196,6 +197,30 @@ CONFIGS = {
                          buffer_size=int(4e3), batch_size=1024,
                          repeat_times=4.0, learning_rate=3e-4,
                          eval_per_step=int(4e5), break_step=int(6e6))),
+    # H-term showcase on Hopper-style control (the reference's H-term claim
+    # is Hopper-based, README.md:153; its implementation is absent upstream —
+    # see agents/ppo.py:AgentPPOHterm).  Paired with a plain-PPO config of
+    # identical shape for an apples-to-apples RESULTS row.
+    'ppo_hopper': (AgentPPO,
+                   {'env_class': HopperEnv,
+                    'env_args': {'env_name': 'HopperSlip-v0',
+                                 'num_envs': 1024, 'max_step': 1000,
+                                 'state_dim': 6, 'action_dim': 2,
+                                 'if_discrete': False}}, 2000,
+                   dict(net_dims=(128, 128), gamma=0.99, horizon_len=128,
+                        repeat_times=128, learning_rate=3e-4,
+                        batch_size=2048, eval_per_step=int(1e6),
+                        break_step=int(1.5e7))),
+    'ppohterm_hopper': (AgentPPOHterm,
+                        {'env_class': HopperEnv,
+                         'env_args': {'env_name': 'HopperSlip-v0',
+                                      'num_envs': 1024, 'max_step': 1000,
+                                      'state_dim': 6, 'action_dim': 2,
+                                      'if_discrete': False}}, 2000,
+                        dict(net_dims=(128, 128), gamma=0.99, horizon_len=128,
+                             repeat_times=128, learning_rate=3e-4,
+                             batch_size=2048, eval_per_step=int(1e6),
+                             break_step=int(1.5e7), h_term_k_step=16)),
     # BASELINE config 4: stock trading at 4k envs on 1 host
     'ppo_stock_4k': (AgentPPO,
                      {'env_class': StockTradingVecEnv,
