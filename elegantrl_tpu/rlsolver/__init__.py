@@ -36,3 +36,4 @@ from .partition import GraphPartitionSimulator  # noqa: F401
 from .setcover import SetCoverSimulator  # noqa: F401
 from .bilp import BILPSimulator  # noqa: F401
 from .portfolio import PortfolioSimulator  # noqa: F401
+from .ppo_maxcut import maxcut_flip_env, ppo_maxcut_solve  # noqa: F401

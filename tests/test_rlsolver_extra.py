@@ -182,3 +182,37 @@ def test_qaoa_maxcut_small_graphs():
     # K4: optimum 4
     cut4, _, _ = qaoa_maxcut(K4, 4, KEY, p_layers=2)
     assert float(cut4) == 4.0
+
+
+def test_ppo_maxcut_flip_env_and_solver():
+    """PPO-on-flip-env maxcut (reference methods/ppo_maxcut.py): the framework
+    PPO trained on the node-flip env must come within 10% of greedy local
+    search on a small ER graph, and the flip-env reward must equal the true
+    cut delta."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from elegantrl_tpu.rlsolver import (MaxCutSimulator, generate_graph,
+                                        greedy_local_search, maxcut_flip_env,
+                                        ppo_maxcut_solve)
+
+    edges = generate_graph('ER', 24, seed=5)
+    sim = MaxCutSimulator(edges, 24)
+
+    # reward == cut delta
+    env = maxcut_flip_env(sim, num_steps=10)
+    s = env.init(jax.random.key(0))
+    for a in (3, 7, 3):
+        before = float(sim.obj(s.x[None])[0])
+        s, r, term, trunc = env.step(s, jnp.asarray(a), jax.random.key(1))
+        after = float(sim.obj(s.x[None])[0])
+        assert abs(float(r) - (after - before)) < 1e-4
+        assert not bool(term)
+
+    ls_obj, _ = greedy_local_search(sim, jax.random.key(0), num_sims=256,
+                                    num_iters=48)
+    out = ppo_maxcut_solve(sim, seed=0, num_envs=32, break_step=200_000)
+    assert out['best_cut'] >= 0.9 * float(ls_obj), (out['best_cut'], ls_obj)
+    # best_x reproduces best_cut
+    assert abs(float(sim.obj(jnp.asarray(out['best_x'])[None])[0])
+               - out['best_cut']) < 1e-4
