@@ -1,10 +1,11 @@
 from .graphs import (  # noqa: F401
     generate_graph, read_graph_txt, write_graph_txt, edges_to_adjacency,
     write_graph_result, read_tsplib, write_tsplib, data_path,
+    summarize_results,
 )
 from .maxcut import MaxCutSimulator  # noqa: F401
 from .methods import (  # noqa: F401
-    random_search, greedy_local_search, simulated_annealing,
+    random_search, random_walk, greedy_local_search, simulated_annealing,
     greedy_flip_sweeps,
 )
 from .mcpg import mcpg_solve  # noqa: F401

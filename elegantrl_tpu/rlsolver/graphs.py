@@ -197,6 +197,66 @@ def edges_to_adjacency(edges: GraphEdges, num_nodes: int) -> np.ndarray:
     return adj
 
 
+def summarize_results(result_dir: str, output_csv: str = None,
+                      maximize: bool = True) -> dict:
+    """Aggregate result files written by :func:`write_graph_result` into
+    per-(instance, algorithm) statistics — the role of the reference's
+    ``methods/util_statistics.py:24`` (``process_folder``), which walks
+    result folders, extracts the ``// obj:`` headers and writes per-category
+    CSV summaries via pandas.  Here: stdlib-only, one pass.
+
+    Returns ``{(instance, alg): {'avg_obj', 'std_obj', 'best_obj',
+    'avg_time', 'count'}}`` and optionally writes one CSV row per key."""
+    import csv
+    import math
+
+    runs = {}
+    for name in sorted(os.listdir(result_dir)):
+        if not name.endswith('.txt'):
+            continue
+        header = {}
+        with open(os.path.join(result_dir, name)) as f:
+            for line in f:
+                if not line.startswith('//'):
+                    break
+                parts = line[2:].split(':', 1)
+                if len(parts) == 2:
+                    header[parts[0].strip()] = parts[1].strip()
+        if 'obj' not in header or 'alg_name' not in header:
+            continue
+        alg = header['alg_name']
+        # instance = filename minus the trailing _{alg}_{timestamp}.txt
+        stem = name[:-4]
+        marker = f"_{alg}_"
+        instance = stem[:stem.rfind(marker)] if marker in stem else stem
+        runs.setdefault((instance, alg), []).append(
+            (float(header['obj']), float(header.get('running_duration', 0))))
+
+    summary = {}
+    for key, vals in runs.items():
+        objs = [v[0] for v in vals]
+        times = [v[1] for v in vals]
+        mean = sum(objs) / len(objs)
+        var = sum((o - mean) ** 2 for o in objs) / len(objs)
+        summary[key] = {
+            'avg_obj': mean,
+            'std_obj': math.sqrt(var),
+            'best_obj': max(objs) if maximize else min(objs),
+            'avg_time': sum(times) / len(times),
+            'count': len(objs),
+        }
+
+    if output_csv is not None:
+        with open(output_csv, 'w', newline='') as f:
+            w = csv.writer(f)
+            w.writerow(['instance', 'alg', 'avg_obj', 'std_obj',
+                        'best_obj', 'avg_time', 'count'])
+            for (instance, alg), s in sorted(summary.items()):
+                w.writerow([instance, alg, s['avg_obj'], s['std_obj'],
+                            s['best_obj'], s['avg_time'], s['count']])
+    return summary
+
+
 def write_graph_result(obj: float, running_duration: float, num_nodes: int,
                        alg_name: str, solution: np.ndarray, filename: str,
                        plus1: bool = True) -> str:
@@ -207,6 +267,10 @@ def write_graph_result(obj: float, running_duration: float, num_nodes: int,
     if directory:
         os.makedirs(directory, exist_ok=True)
     out = f"{filename}_{alg_name}_{int(time.time())}.txt"
+    k = 1
+    while os.path.exists(out):  # same-second writes must not overwrite
+        out = f"{filename}_{alg_name}_{int(time.time())}-{k}.txt"
+        k += 1
     add = 1 if plus1 else 0
     with open(out, 'w') as f:
         f.write(f"// obj: {float(obj)}\n")

@@ -68,6 +68,35 @@ def random_search(sim, key: jax.Array, num_sims: int = 1024,
     return best_obj, best_x
 
 
+def random_walk(sim, key: jax.Array, num_sims: int = 1024,
+                num_steps: int = 1024) -> Tuple[jax.Array, jax.Array]:
+    """Batched random walk (reference ``methods/random_walk.py:21-40``):
+    each step flips one uniformly-random node per sim *unconditionally*
+    (no acceptance test) and the best objective ever visited is tracked.
+    The reference walks one solution in a Python loop, re-evaluating the
+    full objective per step; here ``num_sims`` walks advance in one fused
+    scan and only the running best per step needs an objective sweep."""
+    _require_maximizer(sim, 'random_walk')
+    k_init, k_run = jax.random.split(key)
+    xs = sim.rand_xs(k_init, num_sims)
+
+    def body(carry, key_t):
+        xs, best_obj, best_x = carry
+        nodes = jax.random.randint(key_t, (xs.shape[0],), 0, sim.num_nodes)
+        xs = jnp.abs(xs - jax.nn.one_hot(nodes, sim.num_nodes))
+        objs = sim.obj(xs)
+        i = jnp.argmax(objs)
+        better = objs[i] > best_obj
+        best_obj = jnp.where(better, objs[i], best_obj)
+        best_x = jnp.where(better, xs[i], best_x)
+        return (xs, best_obj, best_x), None
+
+    init = (xs, jnp.asarray(-jnp.inf), jnp.zeros(sim.num_nodes))
+    (xs, best_obj, best_x), _ = jax.lax.scan(
+        body, init, jax.random.split(k_run, num_steps))
+    return best_obj, best_x
+
+
 def greedy_local_search(sim, key: jax.Array,
                         num_sims: int = 1024, num_iters: int = 64
                         ) -> Tuple[jax.Array, jax.Array]:

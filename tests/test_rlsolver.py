@@ -181,3 +181,38 @@ def test_tsplib_solve_bundled_instance():
         sim.rand_tours(jax.random.PRNGKey(1), 64))))
     assert sorted(np.asarray(tour).tolist()) == list(range(48))
     assert float(length) < 0.7 * rand_len
+
+
+def test_random_walk_tracks_best(tmp_path):
+    """random_walk (reference methods/random_walk.py): unconditional flips,
+    best-ever tracked; on a bipartite graph the walk must visit a cut at
+    least as good as one random sample batch, and best_x must reproduce
+    best_obj."""
+    from elegantrl_tpu.rlsolver import (MaxCutSimulator, generate_graph,
+                                        random_search, random_walk)
+    edges = generate_graph('ER', 16, seed=3)
+    sim = MaxCutSimulator(edges, 16)
+    best_obj, best_x = random_walk(sim, jax.random.PRNGKey(0),
+                                   num_sims=128, num_steps=256)
+    assert abs(float(sim.obj(best_x[None])[0]) - float(best_obj)) < 1e-5
+    rs_obj, _ = random_search(sim, jax.random.PRNGKey(1), num_sims=128,
+                              num_rounds=1)
+    assert float(best_obj) >= float(rs_obj) * 0.95
+
+
+def test_summarize_results(tmp_path):
+    """summarize_results aggregates write_graph_result files per
+    (instance, alg) like the reference's util_statistics.process_folder."""
+    from elegantrl_tpu.rlsolver import summarize_results, write_graph_result
+    sol = np.zeros(4, np.int64)
+    d = str(tmp_path / 'res')
+    for obj, alg in [(10.0, 'greedy'), (12.0, 'greedy'), (11.0, 'sa')]:
+        write_graph_result(obj, 1.5, 4, alg, sol, str(tmp_path / 'res' / 'BA_16_ID0'))
+    csv_path = str(tmp_path / 'summary.csv')
+    summary = summarize_results(d, output_csv=csv_path)
+    g = summary[('BA_16_ID0', 'greedy')]
+    assert g['count'] == 2 and g['avg_obj'] == 11.0 and g['best_obj'] == 12.0
+    assert summary[('BA_16_ID0', 'sa')]['count'] == 1
+    with open(csv_path) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 3 and lines[0].startswith('instance,alg')
