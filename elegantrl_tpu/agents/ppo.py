@@ -253,7 +253,11 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
 
         def minibatch(carry, key_t):
             act, cri, act_opt, cri_opt = carry
-            key_t, key_h = jax.random.split(key_t)
+            # split only when the H-term consumes randomness, so plain PPO's
+            # RNG stream (and hence its verified learning rows) is unchanged
+            key_h = None
+            if hterm:
+                key_t, key_h = jax.random.split(key_t)
             if a2c:  # A2C samples whole time-slices (AgentPPO.py:296-302)
                 ids0 = jax.random.randint(key_t, (batch_size,), 0, horizon_len)
                 state = states[ids0]
