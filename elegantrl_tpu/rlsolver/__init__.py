@@ -38,3 +38,6 @@ from .setcover import SetCoverSimulator  # noqa: F401
 from .bilp import BILPSimulator  # noqa: F401
 from .portfolio import PortfolioSimulator  # noqa: F401
 from .ppo_maxcut import maxcut_flip_env, ppo_maxcut_solve  # noqa: F401
+from .pignn import (  # noqa: F401
+    pignn_minimize, pignn_maxcut, pignn_mis, maxcut_qubo, mis_qubo,
+)

@@ -71,7 +71,12 @@ class MISSimulator:
             return xs, None
 
         xs, _ = jax.lax.scan(body, xs, jax.random.split(key, num_sweeps))
-        return xs
+        # The grow step adds all conflict-free nodes at once, so two adjacent
+        # free nodes can both enter in the same sweep; drop every node still
+        # conflicted so the returned sets are always independent (both
+        # endpoints of a violated edge are conflicted, hence both removed).
+        nbr_sel = xs @ self.adj
+        return jnp.where((xs > 0.5) & (nbr_sel > 0.5), 0.0, xs)
 
     # generic-driver entry point (methods.greedy_local_search)
     local_search_sweep = local_search
