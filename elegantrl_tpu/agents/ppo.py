@@ -204,18 +204,27 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
         if hterm:
             h_buf: HtermBuffer = s.h_buf
             K = h_term_buffer_size
-            k_step = min(h_term_k_step, horizon_len)
+            k_full = h_term_k_step                # ring-buffer window size
+            k_step = min(k_full, horizon_len)     # usable part this rollout
             q = reward_sums[:horizon_len - k_step + 1]          # (Hq, N)
             t0 = jnp.argmax(q, axis=0)                          # (N,)
             labels = jnp.take_along_axis(q, t0[None], axis=0)[0]
             env_ids = jnp.arange(num_envs)[None, :]
-            t_idx = t0[None, :] + jnp.arange(k_step)[:, None]   # (k, N)
+            # always gather k_full steps (clamped) so the scatter below
+            # matches the buffer allocation even when horizon < k_full;
+            # the out-of-range tail is masked invalid
+            t_idx = jnp.minimum(t0[None, :] + jnp.arange(k_full)[:, None],
+                                horizon_len - 1)                # (k, N)
             w_states = states[t_idx, env_ids]                   # (k, N, S)
             w_actions = actions[t_idx, env_ids]                 # (k, N, A)
-            und = undones[t_idx, env_ids]                       # (k, N)
-            # validity stops after the first terminal inside the window
+            # validity stops after the first episode boundary inside the
+            # window — terminal OR truncation (auto-reset splices a new
+            # episode either way)
+            stop = (undones * unmasks)[t_idx, env_ids]          # (k, N)
+            in_range = (jnp.arange(k_full) < k_step)[:, None]
             w_masks = jnp.concatenate(
-                [jnp.ones((1, num_envs)), jnp.cumprod(und, axis=0)[:-1]], 0)
+                [jnp.ones((1, num_envs)),
+                 jnp.cumprod(stop, axis=0)[:-1]], 0) * in_range
             slot = (h_buf.ptr + jnp.arange(num_envs)) % K
             h_buf = h_buf._replace(
                 states=h_buf.states.at[slot].set(w_states.transpose(1, 0, 2)),

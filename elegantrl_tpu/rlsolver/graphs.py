@@ -266,13 +266,20 @@ def write_graph_result(obj: float, running_duration: float, num_nodes: int,
     directory = os.path.dirname(filename)
     if directory:
         os.makedirs(directory, exist_ok=True)
-    out = f"{filename}_{alg_name}_{int(time.time())}.txt"
-    k = 1
-    while os.path.exists(out):  # same-second writes must not overwrite
-        out = f"{filename}_{alg_name}_{int(time.time())}-{k}.txt"
-        k += 1
+    # O_CREAT|O_EXCL makes creation atomic, so concurrent solver processes
+    # writing the same instance/alg in the same second cannot clobber each
+    # other (a bare exists() check would race between check and open)
+    stamp = int(time.time())
+    out, k = f"{filename}_{alg_name}_{stamp}.txt", 1
+    while True:
+        try:
+            fd = os.open(out, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            break
+        except FileExistsError:
+            out = f"{filename}_{alg_name}_{stamp}-{k}.txt"
+            k += 1
     add = 1 if plus1 else 0
-    with open(out, 'w') as f:
+    with os.fdopen(fd, 'w') as f:
         f.write(f"// obj: {float(obj)}\n")
         f.write(f"// running_duration: {running_duration}\n")
         f.write(f"// num_nodes: {num_nodes}\n")

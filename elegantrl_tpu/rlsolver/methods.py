@@ -91,7 +91,10 @@ def random_walk(sim, key: jax.Array, num_sims: int = 1024,
         best_x = jnp.where(better, xs[i], best_x)
         return (xs, best_obj, best_x), None
 
-    init = (xs, jnp.asarray(-jnp.inf), jnp.zeros(sim.num_nodes))
+    # score the starting configurations too ("best ever visited")
+    objs0 = sim.obj(xs)
+    i0 = jnp.argmax(objs0)
+    init = (xs, objs0[i0], xs[i0])
     (xs, best_obj, best_x), _ = jax.lax.scan(
         body, init, jax.random.split(k_run, num_steps))
     return best_obj, best_x

@@ -61,8 +61,7 @@ def maxcut_flip_env(sim: MaxCutSimulator, num_steps: int,
         return FlipState(x=x, t=jnp.zeros((), jnp.int32))
 
     def obs(s: FlipState):
-        signs = 2.0 * s.x - 1.0
-        gains = signs * (sim.adj @ signs)
+        gains = sim.flip_gains(s.x[None, :])[0]
         return jnp.concatenate([s.x, gains])
 
     def step(s: FlipState, action, key):
@@ -142,35 +141,34 @@ def ppo_maxcut_solve(sim: MaxCutSimulator, seed: int = 0, num_envs: int = 64,
     key = jax.random.key(seed + 1)
 
     def obs_of(xs):                                            # (S, N) -> (S, 2N)
-        signs = 2.0 * xs - 1.0
-        gains = signs * (signs @ sim.adj.T)
-        return jnp.concatenate([xs, gains], axis=-1)
+        return jnp.concatenate([xs, sim.flip_gains(xs)], axis=-1)
 
     @jax.jit
     def rollout(xs):
-        def body(xs, _):
+        """Greedy rollout that carries each sim's best-ever configuration,
+        so the returned x exactly attains the returned cut (a re-simulated
+        replay could diverge on near-tied logits)."""
+        def body(carry, _):
+            xs, best_obj, best_xs = carry
             a = agent.greedy_action(agent_state, obs_of(xs))   # (S,)
-            flip = jax.nn.one_hot(a, n)
-            xs = jnp.abs(xs - flip)
-            return xs, sim.obj(xs)
-        xs, objs = jax.lax.scan(body, xs, None, length=num_steps)
-        return xs, objs                                        # objs: (T, S)
+            xs = jnp.abs(xs - jax.nn.one_hot(a, n))
+            objs = sim.obj(xs)
+            better = objs > best_obj
+            best_obj = jnp.where(better, objs, best_obj)
+            best_xs = jnp.where(better[:, None], xs, best_xs)
+            return (xs, best_obj, best_xs), None
+        init = (xs, sim.obj(xs), xs)   # initial spins count as visited
+        (_, best_obj, best_xs), _ = jax.lax.scan(
+            body, init, None, length=num_steps)
+        i = jnp.argmax(best_obj)
+        return best_obj[i], best_xs[i]
 
-    best_cut, best_x = -jnp.inf, None
+    best_cut, best_x = -float(jnp.inf), None
     for _ in range(eval_rounds):
         key, k = jax.random.split(key)
-        xs0 = sim.rand_xs(k, num_envs)
-        _, objs = rollout(xs0)
-        t_best, s_best = jnp.unravel_index(jnp.argmax(objs), objs.shape)
-        if float(objs[t_best, s_best]) > float(best_cut):
-            best_cut = objs[t_best, s_best]
-            # re-simulate to recover the argmax configuration cheaply:
-            # replay s_best's trajectory up to t_best
-            x = xs0[s_best]
-            for _t in range(int(t_best) + 1):
-                a = agent.greedy_action(agent_state, obs_of(x[None]))[0]
-                x = jnp.abs(x - jax.nn.one_hot(a, n))
-            best_x = x
+        obj_r, x_r = rollout(sim.rand_xs(k, num_envs))
+        if float(obj_r) > best_cut:
+            best_cut, best_x = float(obj_r), x_r
 
     return {'best_cut': float(best_cut),
             'best_x': None if best_x is None else np.asarray(best_x),

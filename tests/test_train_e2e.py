@@ -140,3 +140,26 @@ def test_ppo_hterm_pendulum_improves(tmp_path):
     count = int(h_buf.count)
     assert count > 0 and count % 8 == 0 and count <= 512
     assert np.all(np.isfinite(np.asarray(h_buf.returns)))
+
+
+def test_ppo_hterm_short_horizon_runs(tmp_path):
+    """horizon_len < h_term_k_step: the window must pad (masked) to the
+    ring-buffer width instead of crashing the scatter at trace time."""
+    from elegantrl_tpu.agents import AgentPPOHterm
+    args = Config(agent_class=AgentPPOHterm, env_class=PendulumEnv,
+                  env_args={'env_name': 'Pendulum-v1', 'num_envs': 4,
+                            'max_step': 200, 'state_dim': 3, 'action_dim': 1,
+                            'if_discrete': False})
+    args.net_dims = (16,)
+    args.horizon_len = 8          # < default h_term_k_step = 16
+    args.batch_size = 32
+    args.eval_per_step = 4096
+    args.break_step = 4096
+    args.h_term_buffer_size = 64
+    args.cwd = str(tmp_path / 'ppoh_short')
+    r = train_agent(args)
+    h_buf = r['agent_state'].h_buf
+    assert int(h_buf.count) > 0
+    masks = np.asarray(h_buf.masks)[:int(h_buf.count)]
+    # the padded tail beyond horizon_len is masked invalid
+    assert masks[:, 8:].max() == 0.0 and masks[:, 0].min() == 1.0
