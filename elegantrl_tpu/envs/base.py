@@ -69,6 +69,11 @@ class EnvDef(NamedTuple):
     # stateful pool, and the evaluator must not reset/resize the training
     # pool mid-run — it builds its own instance through this.
     fresh: Any = None
+    # host-callback envs only: the stateful pool itself.  Lets the runner and
+    # evaluator collect whole rollouts host-side (CPU-backend inference +
+    # direct pool stepping) instead of paying one device round-trip per step
+    # through ordered io_callback — see train/runner.py host-rollout mode.
+    host_pool: Any = None
 
 
 def vec_reset(env: EnvDef, key: PRNGKey, num_envs: int) -> Tuple[EnvState, jax.Array]:

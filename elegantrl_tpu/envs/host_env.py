@@ -89,4 +89,51 @@ def make_host_env(env_fn: Callable, spec: EnvSpec, seed: int = 0) -> EnvDef:
         return state, obs, rewards, terminals, truncates
 
     return EnvDef(spec=spec, init=init, obs=None, step=step, batched=True,
-                  fresh=lambda: make_host_env(env_fn, spec, seed=seed + 10007))
+                  fresh=lambda: make_host_env(env_fn, spec, seed=seed + 10007),
+                  host_pool=pool)
+
+
+def host_collect_rollout(pool: _HostPool, explore_jit, env_action_jit,
+                         params_cpu, obs: np.ndarray, key,
+                         horizon_len: int, reward_scale: float,
+                         cpu_device):
+    """Collect one whole rollout on the host: actor inference on the
+    in-process CPU backend, envs stepped directly on the pool.
+
+    This replaces ``horizon_len`` ordered io_callback device round-trips per
+    round (the dominant cost over a tunneled TPU link, ~25 ms each) with
+    zero — the caller pays one params fetch before and one rollout upload
+    after.  The architectural analog of the reference's Worker process
+    (run.py:361-418): exploration off the learner device, synced by one
+    actor broadcast + one rollout gather per round.
+
+    Returns numpy arrays ``(states, actions, logprobs, rewards, undones,
+    unmasks)`` shaped like :class:`~..agents.base.Rollout` plus the final
+    obs.  ``explore_jit``/``env_action_jit`` must be jitted versions of the
+    agent's ``explore_action``/``env_action``; all array inputs are
+    CPU-committed so the trace runs on the CPU backend.
+    """
+    num_envs = obs.shape[0]
+    states = np.empty((horizon_len, num_envs, obs.shape[1]), np.float32)
+    rewards = np.empty((horizon_len, num_envs), np.float32)
+    undones = np.empty((horizon_len, num_envs), np.float32)
+    unmasks = np.empty((horizon_len, num_envs), np.float32)
+    actions_l, logprobs_l = [], []
+    with jax.default_device(cpu_device):
+        keys = jax.random.split(key, horizon_len)
+        for t in range(horizon_len):
+            action, logprob = explore_jit(params_cpu, jnp.asarray(obs),
+                                          keys[t])
+            env_a = np.asarray(env_action_jit(action))
+            states[t] = obs
+            actions_l.append(np.asarray(action))
+            logprobs_l.append(None if logprob is None
+                              else np.asarray(logprob))
+            obs, r, term, trunc = pool.step(env_a)
+            rewards[t] = r
+            undones[t] = ~term
+            unmasks[t] = ~trunc
+    actions = np.stack(actions_l)
+    logprobs = (None if logprobs_l[0] is None else np.stack(logprobs_l))
+    return (states, actions, logprobs, rewards * reward_scale, undones,
+            unmasks), obs.copy()

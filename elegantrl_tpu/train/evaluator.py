@@ -34,6 +34,38 @@ def make_eval_fn(env: EnvDef, greedy_action: Callable, num_episodes: int,
     """Build a jitted fn (agent_state, key) -> (returns, steps) running
     ``num_episodes`` parallel greedy episodes to their first done."""
 
+    if env.batched and env.host_pool is not None:
+        # host-callback env with an exposed pool: run the whole eval on the
+        # host (greedy inference on the in-process CPU backend, pool stepped
+        # directly) — zero device round-trips instead of max_step ordered
+        # io_callbacks over the tunneled link (see runner host-rollout mode)
+        import numpy as np
+        pool = env.host_pool
+        cpu = jax.devices('cpu')[0]
+        greedy_jit = jax.jit(greedy_action)
+
+        def eval_fn_host(agent_state, key):
+            del key  # pool envs own their reset RNG
+            params_cpu = jax.device_put(agent_state, cpu)
+            obs = pool.reset_all(np.int32(num_episodes))
+            done = np.zeros(num_episodes, bool)
+            ret = np.zeros(num_episodes, np.float32)
+            steps = np.zeros(num_episodes, np.int32)
+            with jax.default_device(cpu):
+                for _ in range(max_step):
+                    action = np.asarray(greedy_jit(params_cpu,
+                                                   jnp.asarray(obs)))
+                    obs, reward, terminal, truncate = pool.step(action)
+                    alive = ~done
+                    ret += reward * alive
+                    steps += alive
+                    done |= terminal | truncate
+                    if done.all():
+                        break
+            return jnp.asarray(ret), jnp.asarray(steps)
+
+        return eval_fn_host
+
     if env.batched:  # host-callback envs: batch-level step, no state freeze
         def eval_fn_batched(agent_state, key):
             k_init, k_run = jax.random.split(key)

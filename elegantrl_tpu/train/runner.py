@@ -80,6 +80,10 @@ class TrainContext(NamedTuple):
     round_fn: Any        # (TrainCarry, None) -> (TrainCarry, metrics)
     carry: TrainCarry
     steps_per_round: int
+    # (TrainCarry, Rollout, last_obs) -> (TrainCarry, metrics): the update
+    # half of round_fn for rollouts collected OUTSIDE the jit program
+    # (host-rollout mode, envs/host_env.py:host_collect_rollout)
+    update_from_rollout: Any = None
 
 
 def build_training(args: Config, mesh=None) -> TrainContext:
@@ -128,11 +132,7 @@ def build_training(args: Config, mesh=None) -> TrainContext:
     buf_state = rb.init() if rb else None
 
     '''one fused round: explore horizon_len steps then update'''
-    def round_fn(carry: TrainCarry, _):
-        key, k_roll, k_upd = jax.random.split(carry.key, 3)
-        rollout, env_state, obs = collect_rollout(
-            env, carry.agent_state, agent.explore_action, agent.env_action,
-            carry.env_state, carry.obs, k_roll, horizon_len, reward_scale)
+    def _update_half(carry: TrainCarry, rollout, env_state, obs, key, k_upd):
         exp_r = jnp.mean(rollout.rewards)
         if agent.if_off_policy:
             buf_state = rb.update(carry.buf_state, (
@@ -153,6 +153,18 @@ def build_training(args: Config, mesh=None) -> TrainContext:
                 rollout.actions.reshape(-1), length=int(args.action_dim))
         return TrainCarry(agent_state, buf_state, env_state, obs, key), metrics
 
+    def round_fn(carry: TrainCarry, _):
+        key, k_roll, k_upd = jax.random.split(carry.key, 3)
+        rollout, env_state, obs = collect_rollout(
+            env, carry.agent_state, agent.explore_action, agent.env_action,
+            carry.env_state, carry.obs, k_roll, horizon_len, reward_scale)
+        return _update_half(carry, rollout, env_state, obs, key, k_upd)
+
+    def update_from_rollout(carry: TrainCarry, rollout, last_obs):
+        key, k_upd = jax.random.split(carry.key)
+        return _update_half(carry, rollout, carry.env_state, last_obs,
+                            key, k_upd)
+
     carry = TrainCarry(agent_state, buf_state, env_state, obs, k_train)
     if args.continue_train:
         # full-carry restore (agent + buffer + env + rng): training resumed
@@ -166,7 +178,8 @@ def build_training(args: Config, mesh=None) -> TrainContext:
         from ..parallel.mesh import shard_train_carry
         carry = shard_train_carry(mesh, carry)
     return TrainContext(env=env, agent=agent, rb=rb, round_fn=round_fn,
-                        carry=carry, steps_per_round=horizon_len * num_envs)
+                        carry=carry, steps_per_round=horizon_len * num_envs,
+                        update_from_rollout=update_from_rollout)
 
 
 def train_agent(args: Config, if_single_process: bool = True) -> dict:
@@ -233,32 +246,87 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
             evaluator.finish(handle, exp_r=metrics.get('exp_r', 0.0),
                              logging_tuple=logging_tuple)
 
-    # Software-pipelined host loop (replaces the reference's concurrent
-    # EvaluatorProc, run.py:421-475): dispatch train_rounds + eval for round
-    # i, then while the device executes them, fetch and record round i-1's
-    # results.  The device queue never drains, so eval/logging round-trips
-    # cost zero device idle time.  Donation invalidates the previous carry's
-    # buffers at the next dispatch, so with donate_carry the loop falls back
-    # to depth-1 (process immediately).
-    pipeline = not donate
+    # Host-rollout mode (host-callback envs only, default on): exploration
+    # runs on the host — actor inference on the in-process CPU backend, envs
+    # stepped directly on the pool — and only the update half dispatches to
+    # the accelerator.  One params fetch + one rollout upload per round
+    # replaces horizon_len ordered io_callback round-trips (~25 ms each over
+    # the tunneled TPU link).  This is the reference Worker process
+    # (run.py:361-418) re-created: actor broadcast out, rollout gather back.
+    use_host_rollout = (env.host_pool is not None and mesh is None
+                        and bool(getattr(args, 'host_rollout', True)))
+
     total_step = 0
     t_start = time.time()
     if_train = True
-    prev = None
-    while if_train:
-        carry, packed = train_rounds(carry, rounds_per_eval)   # async dispatch
-        handle = evaluator.dispatch(
-            carry.agent_state, steps=steps_per_round * rounds_per_eval)
-        if prev is not None:
-            _process(*prev)          # overlaps with the device's current round
-        prev = (packed, handle)
-        if not pipeline:
-            _process(*prev)
-            prev = None
-        total_step += steps_per_round * rounds_per_eval
-        if_train = (total_step <= args.break_step
-                    and evaluator.max_r < args.break_score
-                    and not os.path.exists(os.path.join(args.cwd, 'stop')))
+    if use_host_rollout:
+        from ..agents.base import Rollout
+        from ..envs.host_env import host_collect_rollout
+        cpu = jax.devices('cpu')[0]
+        explore_jit = jax.jit(agent.explore_action)
+        env_action_jit = jax.jit(agent.env_action)
+        horizon_len = int(args.horizon_len)
+        reward_scale = float(args.reward_scale)
+
+        @jax.jit
+        def update_packed(carry, rollout, last_obs):
+            carry, metrics = ctx.update_from_rollout(carry, rollout, last_obs)
+            packed = jnp.stack([metrics[k] for k in metric_names])
+            if has_hist:
+                packed = jnp.concatenate(
+                    [packed, metrics['action_hist'].astype(jnp.float32)])
+            return carry, packed
+
+        obs_host = np.asarray(carry.obs)
+        with jax.default_device(cpu):
+            k_host = jax.random.key(int(args.random_seed) + 0x705)
+        while if_train:
+            packs = []
+            for _ in range(rounds_per_eval):
+                params_cpu = jax.device_put(carry.agent_state, cpu)
+                with jax.default_device(cpu):
+                    k_host, k_roll = jax.random.split(k_host)
+                arrs, obs_host = host_collect_rollout(
+                    env.host_pool, explore_jit, env_action_jit, params_cpu,
+                    obs_host, k_roll, horizon_len, reward_scale, cpu)
+                rollout = Rollout(*(None if a is None else jnp.asarray(a)
+                                    for a in arrs))
+                carry, packed = update_packed(carry, rollout,
+                                              jnp.asarray(obs_host))
+                packs.append(np.asarray(packed))
+            handle = evaluator.dispatch(
+                carry.agent_state, steps=steps_per_round * rounds_per_eval)
+            _process(np.mean(np.stack(packs), axis=0), handle)
+            total_step += steps_per_round * rounds_per_eval
+            if_train = (total_step <= args.break_step
+                        and evaluator.max_r < args.break_score
+                        and not os.path.exists(os.path.join(args.cwd, 'stop')))
+        prev = None
+    else:
+        # Software-pipelined host loop (replaces the reference's concurrent
+        # EvaluatorProc, run.py:421-475): dispatch train_rounds + eval for
+        # round i, then while the device executes them, fetch and record
+        # round i-1's results.  The device queue never drains, so
+        # eval/logging round-trips cost zero device idle time.  Donation
+        # invalidates the previous carry's buffers at the next dispatch, so
+        # with donate_carry the loop falls back to depth-1 (process
+        # immediately).
+        pipeline = not donate
+        prev = None
+        while if_train:
+            carry, packed = train_rounds(carry, rounds_per_eval)  # async dispatch
+            handle = evaluator.dispatch(
+                carry.agent_state, steps=steps_per_round * rounds_per_eval)
+            if prev is not None:
+                _process(*prev)      # overlaps with the device's current round
+            prev = (packed, handle)
+            if not pipeline:
+                _process(*prev)
+                prev = None
+            total_step += steps_per_round * rounds_per_eval
+            if_train = (total_step <= args.break_step
+                        and evaluator.max_r < args.break_score
+                        and not os.path.exists(os.path.join(args.cwd, 'stop')))
     if prev is not None:
         _process(*prev)
 

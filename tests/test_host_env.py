@@ -41,3 +41,55 @@ def test_host_env_trains_with_framework():
     out, metrics = jax.jit(lambda c: ctx.round_fn(c, None))(ctx.carry)
     assert np.isfinite(float(metrics['exp_r']))
     assert np.isfinite(np.asarray(out.obs)).all()
+
+
+def test_host_collect_rollout_matches_contract():
+    """Host-side rollout collection: shapes/dtypes match Rollout, rewards are
+    scaled, and the CPU-backend inference consumes the agent's params."""
+    from elegantrl_tpu.envs.host_env import host_collect_rollout
+    env = _pendulum_def()
+    args = Config(AgentPPO, env,
+                  {'env_name': 'Pendulum-v1', 'num_envs': 4, 'max_step': 200,
+                   'state_dim': 3, 'action_dim': 1, 'if_discrete': False})
+    args.net_dims = (16,)
+    args.horizon_len = 8
+    ctx = build_training(args)
+    cpu = jax.devices('cpu')[0]
+    explore_jit = jax.jit(ctx.agent.explore_action)
+    env_action_jit = jax.jit(ctx.agent.env_action)
+    params_cpu = jax.device_put(ctx.carry.agent_state, cpu)
+    obs0 = np.asarray(ctx.carry.obs)
+    with jax.default_device(cpu):
+        k = jax.random.key(7)
+    arrs, last_obs = host_collect_rollout(
+        env.host_pool, explore_jit, env_action_jit, params_cpu, obs0, k,
+        horizon_len=8, reward_scale=0.5, cpu_device=cpu)
+    states, actions, logprobs, rewards, undones, unmasks = arrs
+    assert states.shape == (8, 4, 3) and actions.shape == (8, 4, 1)
+    assert logprobs.shape == (8, 4) and rewards.shape == (8, 4)
+    assert last_obs.shape == (4, 3)
+    # Pendulum rewards are <= 0; scaling by 0.5 keeps them in (-8.1, 0]
+    assert rewards.min() >= -16.3 * 0.5 and rewards.max() <= 0.0
+    assert np.all(undones == 1.0)  # Pendulum never terminates
+
+
+def test_host_rollout_training_runs_and_records(tmp_path):
+    """Full train_agent in host-rollout mode (default for host envs):
+    trains, evaluates through the host eval path, and writes the recorder."""
+    from elegantrl_tpu.train.runner import train_agent
+    env = _pendulum_def()
+    args = Config(AgentPPO, env,
+                  {'env_name': 'Pendulum-v1', 'num_envs': 4, 'max_step': 200,
+                   'state_dim': 3, 'action_dim': 1, 'if_discrete': False})
+    args.net_dims = (16, 16)
+    args.horizon_len = 16
+    args.batch_size = 32
+    args.repeat_times = 2
+    args.eval_per_step = 64
+    args.eval_times = 2
+    args.break_step = 256
+    args.cwd = str(tmp_path / 'host_rollout')
+    r = train_agent(args)
+    assert r['total_step'] >= 256
+    assert len(r['recorder']) >= 1
+    assert np.isfinite(r['recorder'][:, 1]).all()
