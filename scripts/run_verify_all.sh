@@ -5,9 +5,10 @@
 # recovery (relay grant wedge), so the bulk of the suite runs in ONE process
 # per phase (--main-set: all standard configs; --specials: marl, population)
 # with per-row checkpointing to /tmp/verify_rows.jsonl.  Stragglers (rows
-# still missing after the bulk phases) get individual --only retries, and
-# host-env configs run on CPU JAX (their env steps on the host; running on
-# the TPU would pay the tunnel round-trip per step).
+# still missing after the bulk phases) get individual --only retries.
+# Host-env configs run on the TPU like everything else: host-rollout mode
+# (train/runner.py) steps the env on the host and only dispatches the SGD
+# update to the device, so there is no per-step tunnel round-trip anymore.
 set -u
 cd "$(dirname "$0")/.."
 rm -f /tmp/verify_rows.jsonl
@@ -18,9 +19,8 @@ timeout 14400 python -u scripts/verify_learning.py --main-set
 echo "=== phase 2: specials (one process) ===" >&2
 timeout 7200 python -u scripts/verify_learning.py --specials
 
-echo "=== phase 3: host-env configs (CPU JAX) ===" >&2
-timeout 1800 env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-    python -u scripts/verify_learning.py --only modsac_lander_host
+echo "=== phase 3: host-env configs (host-rollout mode on TPU) ===" >&2
+timeout 1800 python -u scripts/verify_learning.py --only modsac_lander_host
 
 echo "=== phase 4: straggler retries ===" >&2
 MISSING=$(python - <<'EOF'
@@ -41,13 +41,11 @@ EOF
 for cfg in $MISSING; do
     for attempt in 1 2; do
         echo "=== retry $cfg (attempt $attempt) ===" >&2
-        # host-env configs must retry on CPU JAX too (env steps on the
-        # host; TPU would pay the tunnel RTT per step), with a budget
-        # matched to their known runtime (~27 min), not the TPU one
+        # host-env configs get a budget matched to their host-bound env
+        # stepping (minutes, not seconds), the rest the standard TPU one
         case "$cfg" in
             *_host)
-                timeout 3600 env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-                    python -u scripts/verify_learning.py --only "$cfg" && break
+                timeout 3600 python -u scripts/verify_learning.py --only "$cfg" && break
                 ;;
             *)
                 timeout 900 python -u scripts/verify_learning.py --only "$cfg" && break
