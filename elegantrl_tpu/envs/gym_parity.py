@@ -47,10 +47,12 @@ def _resolve_env_id(gym, env_id: str) -> str:
     return env_id  # let gym.make raise its own error
 
 
-def gym_env_def(env_id: str, seed: int = 0, **make_kwargs) -> EnvDef:
+def gym_env_def(env_id: str, seed: int = 0, num_threads: int = 0,
+                **make_kwargs) -> EnvDef:
     """Wrap any gymnasium env id as a batched EnvDef for the fused loop
     (reference ``build_env`` special-cases ``gym.make`` the same way,
-    config.py:124-129)."""
+    config.py:124-129).  ``num_threads``: step the pool on threads — use for
+    envs whose C core releases the GIL (MuJoCo)."""
     gym = _require_gym()
     env_id = _resolve_env_id(gym, env_id)
     probe = gym.make(env_id, **make_kwargs)
@@ -66,7 +68,7 @@ def gym_env_def(env_id: str, seed: int = 0, **make_kwargs) -> EnvDef:
                    state_dim=state_dim, action_dim=action_dim,
                    if_discrete=if_discrete)
     return make_host_env(lambda: gym.make(env_id, **make_kwargs), spec,
-                         seed=seed)
+                         seed=seed, num_threads=num_threads)
 
 
 def get_env_args(env: EnvDef, num_envs: int = 1) -> dict:
@@ -87,6 +89,7 @@ def gym_lunar_lander(seed: int = 0) -> EnvDef:
     return gym_env_def('LunarLander-v3', seed=seed)
 
 
-def gym_hopper(seed: int = 0) -> EnvDef:
-    """Real MuJoCo Hopper (reference README.md:153 Hopper-v2 benchmark)."""
-    return gym_env_def('Hopper-v5', seed=seed)
+def gym_hopper(seed: int = 0, num_threads: int = 8) -> EnvDef:
+    """Real MuJoCo Hopper (reference README.md:153 Hopper-v2 benchmark).
+    Threaded by default: MuJoCo's ``mj_step`` releases the GIL."""
+    return gym_env_def('Hopper-v5', seed=seed, num_threads=num_threads)

@@ -23,13 +23,26 @@ from .base import EnvDef, EnvSpec
 
 
 class _HostPool:
-    """A lazily-built pool of stateful gym envs, stepped as one batch."""
+    """A lazily-built pool of stateful gym envs, stepped as one batch.
 
-    def __init__(self, env_fn: Callable, seed: int):
+    ``num_threads > 1`` steps envs on a persistent thread pool — a real win
+    for envs whose C core releases the GIL (MuJoCo's ``mj_step``); neutral
+    for GIL-bound ones (pybox2d).  Each worker touches disjoint indices, so
+    results are bit-identical to sequential stepping."""
+
+    def __init__(self, env_fn: Callable, seed: int, num_threads: int = 0):
         self.env_fn = env_fn
         self.seed = seed
         self.envs = None
         self.obs = None
+        self.num_threads = int(num_threads)
+        self._pool = None
+
+    def _executor(self):
+        if self._pool is None and self.num_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=self.num_threads)
+        return self._pool
 
     def _ensure(self, num_envs: int):
         if self.envs is None or len(self.envs) != num_envs:
@@ -50,22 +63,32 @@ class _HostPool:
         rewards = np.zeros(n, np.float32)
         terminals = np.zeros(n, bool)
         truncates = np.zeros(n, bool)
-        for i, e in enumerate(self.envs):
+
+        def step_one(i):
             a = np.asarray(actions[i])
-            obs, r, term, trunc, _ = e.step(a.item() if a.ndim == 0 else a)
+            obs, r, term, trunc, _ = self.envs[i].step(
+                a.item() if a.ndim == 0 else a)
             if term or trunc:  # auto-reset, reference AgentBase.py:111-113
-                obs, _ = e.reset()
+                obs, _ = self.envs[i].reset()
             self.obs[i] = np.asarray(obs, np.float32)
             rewards[i] = r
             terminals[i] = term
             truncates[i] = trunc
+
+        ex = self._executor()
+        if ex is None:
+            for i in range(n):
+                step_one(i)
+        else:
+            list(ex.map(step_one, range(n)))
         return self.obs.copy(), rewards, terminals, truncates
 
 
-def make_host_env(env_fn: Callable, spec: EnvSpec, seed: int = 0) -> EnvDef:
+def make_host_env(env_fn: Callable, spec: EnvSpec, seed: int = 0,
+                  num_threads: int = 0) -> EnvDef:
     """Wrap ``env_fn() -> gym.Env`` as a *batched* EnvDef (``batched=True``):
     init/step run on the host for the whole batch via ordered io_callback."""
-    pool = _HostPool(env_fn, seed)
+    pool = _HostPool(env_fn, seed, num_threads=num_threads)
 
     def init(key, num_envs: int):
         del key
@@ -89,7 +112,8 @@ def make_host_env(env_fn: Callable, spec: EnvSpec, seed: int = 0) -> EnvDef:
         return state, obs, rewards, terminals, truncates
 
     return EnvDef(spec=spec, init=init, obs=None, step=step, batched=True,
-                  fresh=lambda: make_host_env(env_fn, spec, seed=seed + 10007),
+                  fresh=lambda: make_host_env(env_fn, spec, seed=seed + 10007,
+                                              num_threads=num_threads),
                   host_pool=pool)
 
 

@@ -43,6 +43,26 @@ def test_host_env_trains_with_framework():
     assert np.isfinite(np.asarray(out.obs)).all()
 
 
+def test_host_pool_threaded_matches_sequential():
+    """Thread-pool stepping touches disjoint indices per env, so it must be
+    bit-identical to the sequential path."""
+    from elegantrl_tpu.envs.host_env import _HostPool
+    seq = _HostPool(lambda: gym.make('Pendulum-v1'), seed=3)
+    thr = _HostPool(lambda: gym.make('Pendulum-v1'), seed=3, num_threads=4)
+    obs_a = seq.reset_all(np.int32(6))
+    obs_b = thr.reset_all(np.int32(6))
+    np.testing.assert_array_equal(obs_a, obs_b)
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        a = rng.uniform(-2, 2, (6, 1)).astype(np.float32)
+        oa, ra, ta, ua = seq.step(a)
+        ob, rb, tb, ub = thr.step(a)
+        np.testing.assert_array_equal(oa, ob)
+        np.testing.assert_array_equal(ra, rb)
+        np.testing.assert_array_equal(ta, tb)
+        np.testing.assert_array_equal(ua, ub)
+
+
 def test_host_collect_rollout_matches_contract():
     """Host-side rollout collection: shapes/dtypes match Rollout, rewards are
     scaled, and the CPU-backend inference consumes the agent's params."""
