@@ -128,7 +128,18 @@ def build_training(args: Config, mesh=None) -> TrainContext:
         if os.path.isfile(ckpt):
             agent_state = load_pytree(ckpt, agent_state)
             print(f"| train_agent: loaded {ckpt}", flush=True)
-    env_state, obs = vec_reset(env, k_env, num_envs)
+    use_host_rollout = (env.host_pool is not None and mesh is None
+                        and bool(getattr(args, 'host_rollout', True)))
+    if use_host_rollout:
+        # Host-rollout mode never steps the env through io_callback — and it
+        # must not init through it either: an EAGER io_callback executes on
+        # the device runtime, and the tunneled (remote) TPU executor cannot
+        # call back into this local Python process (deadlocks).  Drive the
+        # pool directly.
+        obs = jnp.asarray(env.host_pool.reset_all(np.int32(num_envs)))
+        env_state = jnp.zeros(num_envs, jnp.int32)
+    else:
+        env_state, obs = vec_reset(env, k_env, num_envs)
     buf_state = rb.init() if rb else None
 
     '''one fused round: explore horizon_len steps then update'''
