@@ -288,13 +288,31 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
                     [packed, metrics['action_hist'].astype(jnp.float32)])
             return carry, packed
 
+        # The tunneled link pays a round-trip PER TRANSFER, so a pytree
+        # device_put of the agent state (~dozens of leaves) costs dozens of
+        # RTTs.  Pack the state into ONE flat buffer on device, fetch once,
+        # unravel on the CPU.  (ravel_pytree casts to a common dtype and the
+        # unravel casts back — exact for the int32 step counters involved.)
+        try:
+            from jax.flatten_util import ravel_pytree
+            _, _unravel = ravel_pytree(carry.agent_state)
+            _pack = jax.jit(lambda s: ravel_pytree(s)[0])
+
+            def fetch_params():
+                flat = np.asarray(_pack(carry.agent_state))
+                with jax.default_device(cpu):
+                    return _unravel(jnp.asarray(flat))
+        except Exception:  # non-ravelable state: per-leaf transfer fallback
+            def fetch_params():
+                return jax.device_put(carry.agent_state, cpu)
+
         obs_host = np.asarray(carry.obs)
         with jax.default_device(cpu):
             k_host = jax.random.key(int(args.random_seed) + 0x705)
         while if_train:
             packs = []
             for _ in range(rounds_per_eval):
-                params_cpu = jax.device_put(carry.agent_state, cpu)
+                params_cpu = fetch_params()
                 with jax.default_device(cpu):
                     k_host, k_roll = jax.random.split(k_host)
                 arrs, obs_host = host_collect_rollout(
@@ -304,10 +322,11 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
                                     for a in arrs))
                 carry, packed = update_packed(carry, rollout,
                                               jnp.asarray(obs_host))
-                packs.append(np.asarray(packed))
+                packs.append(packed)   # device arrays; fetched at eval time
             handle = evaluator.dispatch(
                 carry.agent_state, steps=steps_per_round * rounds_per_eval)
-            _process(np.mean(np.stack(packs), axis=0), handle)
+            _process(np.mean(np.stack([np.asarray(p) for p in packs]), 0),
+                     handle)
             total_step += steps_per_round * rounds_per_eval
             if_train = (total_step <= args.break_step
                         and evaluator.max_r < args.break_score
