@@ -65,6 +65,14 @@ class AgentDef(NamedTuple):
     # optional: (agent_state, rollout, last_obs) -> (H, N) backward-discounted
     # returns for lambda_fit_cum_r (reference AgentBase.get_cumulative_rewards)
     cum_returns: Any = None
+    # optional pair for host-rollout mode (train/runner.py): fetch only the
+    # sub-pytree ``explore_action``/``greedy_action`` actually read instead of
+    # the whole agent state (opt states + critic ensembles dominate the bytes
+    # and the tunneled link runs ~55 MB/s).
+    #   explore_view:  (agent_state) -> sub-pytree consumed by the actor path
+    #   explore_merge: (full_state_host, sub_host) -> state with sub spliced in
+    explore_view: Any = None
+    explore_merge: Any = None
 
 
 def make_optimizer(learning_rate: float, clip_grad_norm: float) -> optax.GradientTransformation:

@@ -164,7 +164,9 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
                     if_off_policy=True, if_discrete=False,
                     init=init, explore_action=explore_action,
                     greedy_action=greedy_action, env_action=lambda a: a,
-                    update=update, cum_returns=cum_returns)
+                    update=update, cum_returns=cum_returns,
+                    explore_view=lambda s: s.act,
+                    explore_merge=lambda f, v: f._replace(act=v))
 
 
 make_td3 = partial(_make, td3=True)

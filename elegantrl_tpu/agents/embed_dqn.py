@@ -134,7 +134,9 @@ def make_embed_dqn(net_dims, state_dim: int, action_dim: int, args,
                     if_off_policy=True, if_discrete=True,
                     init=init, explore_action=explore_action,
                     greedy_action=greedy_action, env_action=lambda a: a,
-                    update=update, cum_returns=cum_returns)
+                    update=update, cum_returns=cum_returns,
+                    explore_view=lambda s: s.q,
+                    explore_merge=lambda f, v: f._replace(q=v))
 
 
 class AgentEmbedDQN:

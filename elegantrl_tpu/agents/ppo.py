@@ -352,7 +352,10 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
     return AgentDef(name=name, if_off_policy=False, if_discrete=discrete,
                     init=init, explore_action=explore_action,
                     greedy_action=greedy_action, env_action=env_action,
-                    update=update)
+                    update=update,
+                    explore_view=lambda s: (s.act, s.norm_avg, s.norm_std),
+                    explore_merge=lambda f, v: f._replace(
+                        act=v[0], norm_avg=v[1], norm_std=v[2]))
 
 
 # Class-style markers for Config(agent_class=...) parity with the reference.

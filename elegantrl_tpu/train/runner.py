@@ -288,20 +288,32 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
                     [packed, metrics['action_hist'].astype(jnp.float32)])
             return carry, packed
 
-        # The tunneled link pays a round-trip PER TRANSFER, so a pytree
-        # device_put of the agent state (~dozens of leaves) costs dozens of
-        # RTTs.  Pack the state into ONE flat buffer on device, fetch once,
-        # unravel on the CPU.  (ravel_pytree casts to a common dtype and the
-        # unravel casts back — exact for the int32 step counters involved.)
+        # The tunneled link runs ~55 MB/s with ~24 ms per transfer, so the
+        # per-round params fetch must be (a) ONE flat buffer, not a pytree of
+        # dozens of leaves, and (b) only the actor sub-pytree the exploration
+        # path reads (agent.explore_view) — opt states and critic ensembles
+        # dominate the bytes and are never consumed on the host.
         try:
             from jax.flatten_util import ravel_pytree
-            _, _unravel = ravel_pytree(carry.agent_state)
-            _pack = jax.jit(lambda s: ravel_pytree(s)[0])
+            if agent.explore_view is not None:
+                _, _unravel = ravel_pytree(
+                    agent.explore_view(carry.agent_state))
+                _pack = jax.jit(lambda s: ravel_pytree(agent.explore_view(s))[0])
+                _full_host = jax.device_put(carry.agent_state, cpu)
 
-            def fetch_params():
-                flat = np.asarray(_pack(carry.agent_state))
-                with jax.default_device(cpu):
-                    return _unravel(jnp.asarray(flat))
+                def fetch_params():
+                    flat = np.asarray(_pack(carry.agent_state))
+                    with jax.default_device(cpu):
+                        return agent.explore_merge(
+                            _full_host, _unravel(jnp.asarray(flat)))
+            else:
+                _, _unravel = ravel_pytree(carry.agent_state)
+                _pack = jax.jit(lambda s: ravel_pytree(s)[0])
+
+                def fetch_params():
+                    flat = np.asarray(_pack(carry.agent_state))
+                    with jax.default_device(cpu):
+                        return _unravel(jnp.asarray(flat))
         except Exception:  # non-ravelable state: per-leaf transfer fallback
             def fetch_params():
                 return jax.device_put(carry.agent_state, cpu)

@@ -9,7 +9,10 @@ ModSAC-sized agent state (the modsac_lander_host config):
 
 Run on the real TPU: ``python scripts/probe_host_transfers.py``.
 """
+import sys
 import time
+
+sys.path.insert(0, '.')
 
 import jax
 import jax.numpy as jnp
