@@ -343,6 +343,32 @@ def _run_modsac_lander_host():
     return float(r['max_r']), int(r['total_step'])
 
 
+def _run_ppoh_hopper_mujoco_host():
+    """H-term PPO on REAL MuJoCo Hopper through host-rollout mode — the
+    reference's README headline benchmark family (README.md:153 "Hopper-v2
+    PPO+H ~6x faster than SB3", examples/plan_Hopper-v2_H.py which cannot run
+    there: AgentPPOHterm is absent from the reference core).  Env steps on
+    threaded host MuJoCo (mj_step releases the GIL), SGD on the TPU."""
+    from elegantrl_tpu.agents import AgentPPOHterm
+    from elegantrl_tpu.envs.gym_parity import gym_env_def, get_env_args
+    from elegantrl_tpu.train.runner import train_agent
+    env = gym_env_def('Hopper-v5', num_threads=8)
+    args = Config(AgentPPOHterm, env, get_env_args(env, num_envs=32))
+    args.net_dims = (128, 128)
+    args.gamma = 0.99
+    args.horizon_len = 256           # 8192 env-steps per round
+    args.repeat_times = 32           # -> 4 SGD updates per round
+    args.learning_rate = 3e-4
+    args.batch_size = 2048
+    args.eval_per_step = int(1e5)
+    args.eval_times = 4
+    args.break_step = int(3e6)
+    args.break_score = 2500.0
+    args.cwd = '/tmp/verify_ppoh_hopper_mujoco'
+    r = train_agent(args)
+    return float(r['max_r']), int(r['total_step'])
+
+
 SPECIALS = {
     'mappo_chasing': (lambda: _marl_row('mappo_chasing', _run_mappo, -1.0)),
     'maddpg_chasing': (lambda: _marl_row('maddpg_chasing', _run_maddpg, -1.0)),
@@ -355,6 +381,9 @@ SPECIALS = {
     'modsac_lander_host': (lambda: _marl_row(
         'modsac_lander_host', _run_modsac_lander_host, 150.0,
         'LunarLanderContinuous-v3 (real Box2D)')),
+    'ppoh_hopper_mujoco_host': (lambda: _marl_row(
+        'ppoh_hopper_mujoco_host', _run_ppoh_hopper_mujoco_host, 1000.0,
+        'Hopper-v5 (real MuJoCo)')),
 }
 
 ROWS_PATH = '/tmp/verify_rows.jsonl'
@@ -410,8 +439,8 @@ def main():
                       flush=True)
     elif '--specials' in sys.argv:
         for name, fn in SPECIALS.items():
-            if name in _done() or name == 'modsac_lander_host':
-                continue   # host-env config runs separately on CPU JAX
+            if name in _done() or name.endswith('_host'):
+                continue   # host-env configs run in their own phase
             try:
                 _append(fn())
             except Exception as e:
