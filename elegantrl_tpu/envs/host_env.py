@@ -117,6 +117,41 @@ def make_host_env(env_fn: Callable, spec: EnvSpec, seed: int = 0,
                   host_pool=pool)
 
 
+def make_params_fetcher(explore_view, explore_merge, example_state,
+                        cpu_device):
+    """Build ``fetch(agent_state) -> CPU pytree`` with tunnel discipline.
+
+    The tunneled link runs ~55 MB/s with ~24 ms per transfer, so the fetch
+    must be (a) ONE flat buffer, not a pytree of dozens of leaves, and
+    (b) only the actor sub-pytree the host inference path reads
+    (``agent.explore_view``) — opt states and critic ensembles dominate the
+    bytes and are never consumed on the host.  Shared by the runner's
+    host-rollout loop and the evaluator's host eval path."""
+    import numpy as _np
+    try:
+        from jax.flatten_util import ravel_pytree
+        if explore_view is not None:
+            _, unravel = ravel_pytree(explore_view(example_state))
+            pack = jax.jit(lambda s: ravel_pytree(explore_view(s))[0])
+            full_host = jax.device_put(example_state, cpu_device)
+
+            def fetch(agent_state):
+                flat = _np.asarray(pack(agent_state))
+                with jax.default_device(cpu_device):
+                    return explore_merge(full_host, unravel(jnp.asarray(flat)))
+        else:
+            _, unravel = ravel_pytree(example_state)
+            pack = jax.jit(lambda s: ravel_pytree(s)[0])
+
+            def fetch(agent_state):
+                flat = _np.asarray(pack(agent_state))
+                with jax.default_device(cpu_device):
+                    return unravel(jnp.asarray(flat))
+        return fetch
+    except Exception:  # non-ravelable state: per-leaf transfer fallback
+        return lambda agent_state: jax.device_put(agent_state, cpu_device)
+
+
 def host_collect_rollout(pool: _HostPool, explore_jit, env_action_jit,
                          params_cpu, obs: np.ndarray, key,
                          horizon_len: int, reward_scale: float,

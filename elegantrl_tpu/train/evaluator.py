@@ -30,23 +30,35 @@ from ..utils.checkpoint import save_pytree
 
 
 def make_eval_fn(env: EnvDef, greedy_action: Callable, num_episodes: int,
-                 max_step: int) -> Callable:
+                 max_step: int, host_eval: bool = True,
+                 params_fetch: Optional[Callable] = None) -> Callable:
     """Build a jitted fn (agent_state, key) -> (returns, steps) running
-    ``num_episodes`` parallel greedy episodes to their first done."""
+    ``num_episodes`` parallel greedy episodes to their first done.
 
-    if env.batched and env.host_pool is not None:
+    ``host_eval`` gates the host-pool fast path so ``args.host_rollout=False``
+    disables host-side stepping everywhere, not just in training.
+    ``params_fetch`` (agent_state -> CPU pytree) lets the host path reuse the
+    runner's one-flat-buffer actor fetch instead of a per-leaf pytree fetch."""
+
+    try:
+        _cpu_devices = jax.devices('cpu')
+    except RuntimeError:  # platform-pinned process without a CPU backend
+        _cpu_devices = []
+
+    if env.batched and env.host_pool is not None and host_eval and _cpu_devices:
         # host-callback env with an exposed pool: run the whole eval on the
         # host (greedy inference on the in-process CPU backend, pool stepped
         # directly) — zero device round-trips instead of max_step ordered
         # io_callbacks over the tunneled link (see runner host-rollout mode)
         import numpy as np
         pool = env.host_pool
-        cpu = jax.devices('cpu')[0]
+        cpu = _cpu_devices[0]
         greedy_jit = jax.jit(greedy_action)
+        fetch = params_fetch or (lambda s: jax.device_put(s, cpu))
 
         def eval_fn_host(agent_state, key):
             del key  # pool envs own their reset RNG
-            params_cpu = jax.device_put(agent_state, cpu)
+            params_cpu = fetch(agent_state)
             obs = pool.reset_all(np.int32(num_episodes))
             done = np.zeros(num_episodes, bool)
             ret = np.zeros(num_episodes, np.float32)
@@ -62,7 +74,9 @@ def make_eval_fn(env: EnvDef, greedy_action: Callable, num_episodes: int,
                     done |= terminal | truncate
                     if done.all():
                         break
-            return jnp.asarray(ret), jnp.asarray(steps)
+            # host-resident results: returning numpy keeps ``finish`` from
+            # round-tripping them through the accelerator
+            return ret, steps
 
         return eval_fn_host
 
@@ -132,7 +146,8 @@ def make_eval_fn(env: EnvDef, greedy_action: Callable, num_episodes: int,
 
 class Evaluator:
     def __init__(self, cwd: str, env: EnvDef, greedy_action: Callable, args,
-                 if_tensorboard: bool = False):
+                 if_tensorboard: bool = False, host_eval: bool = True,
+                 params_fetch: Optional[Callable] = None):
         self.cwd = cwd
         self.agent_id = int(getattr(args, 'gpu_id', 0))
         self.total_step = 0
@@ -150,7 +165,9 @@ class Evaluator:
         self.recorder_step = int(getattr(args, 'eval_record_step', 0))
         self.max_r = -np.inf
         max_step = int(getattr(args, 'max_step', env.spec.max_step))
-        self._eval_fn = make_eval_fn(env, greedy_action, self.eval_times, max_step)
+        self._eval_fn = make_eval_fn(env, greedy_action, self.eval_times,
+                                     max_step, host_eval=host_eval,
+                                     params_fetch=params_fetch)
         self._key = jax.random.key(int(getattr(args, 'random_seed', 0) or 0) + 1943)
 
         # optional TensorBoard scalars (reference evaluator.py:50-54,81-92;
@@ -203,8 +220,12 @@ class Evaluator:
         """Fetch a dispatched eval's results and do the host-side recording,
         printing and checkpointing."""
         total_step, returns, ep_steps, agent_state = handle
-        both = np.asarray(jnp.stack([returns, ep_steps.astype(jnp.float32)]))
-        returns, ep_steps = both[0], both[1]  # one host transfer, not two
+        if isinstance(returns, np.ndarray):  # host eval path: already local
+            returns = returns.astype(np.float32)
+            ep_steps = np.asarray(ep_steps, np.float32)
+        else:
+            both = np.asarray(jnp.stack([returns, ep_steps.astype(jnp.float32)]))
+            returns, ep_steps = both[0], both[1]  # one host transfer, not two
         avg_r, std_r = float(returns.mean()), float(returns.std())
         avg_s, std_s = float(ep_steps.mean()), float(ep_steps.std())
         used_time = int(time.time() - self.start_time)

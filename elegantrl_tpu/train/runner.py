@@ -47,6 +47,13 @@ class TrainCarry(NamedTuple):
     key: jax.Array
 
 
+def _has_cpu_backend() -> bool:
+    try:
+        return len(jax.devices('cpu')) > 0
+    except RuntimeError:
+        return False
+
+
 def _resolve_env_def(args: Config) -> EnvDef:
     """Accept an EnvDef directly, a VecEnv-style class, or an instance."""
     env_class, env_args = args.env_class, dict(args.env_args or {})
@@ -84,6 +91,9 @@ class TrainContext(NamedTuple):
     # half of round_fn for rollouts collected OUTSIDE the jit program
     # (host-rollout mode, envs/host_env.py:host_collect_rollout)
     update_from_rollout: Any = None
+    # decided ONCE here (train_agent and the evaluator must agree: the pool
+    # is stateful, and build_training already initialized obs from it)
+    use_host_rollout: bool = False
 
 
 def build_training(args: Config, mesh=None) -> TrainContext:
@@ -130,6 +140,13 @@ def build_training(args: Config, mesh=None) -> TrainContext:
             print(f"| train_agent: loaded {ckpt}", flush=True)
     use_host_rollout = (env.host_pool is not None and mesh is None
                         and bool(getattr(args, 'host_rollout', True)))
+    if use_host_rollout and not _has_cpu_backend():
+        # Host-rollout needs an in-process CPU backend for actor inference.
+        # Without one (platform-pinned process), fall back to the fused
+        # io_callback path rather than crashing in the host loop.
+        print("| build_training: no CPU JAX backend — host-rollout mode "
+              "disabled, using in-program io_callback env steps", flush=True)
+        use_host_rollout = False
     if use_host_rollout:
         # Host-rollout mode never steps the env through io_callback — and it
         # must not init through it either: an EAGER io_callback executes on
@@ -185,12 +202,20 @@ def build_training(args: Config, mesh=None) -> TrainContext:
         if os.path.isfile(full_ckpt):
             carry = load_pytree(full_ckpt, carry)
             print(f"| train_agent: resumed full carry from {full_ckpt}", flush=True)
+            if use_host_rollout:
+                # The host pool's env states are NOT checkpointable; the pool
+                # was freshly reset above.  Keep the restored agent/buffer/rng
+                # but re-point obs at the pool's actual episode starts so the
+                # first stored transition pairs real (s, a, r, s') — the
+                # checkpointed obs describe episodes the envs are no longer in.
+                carry = carry._replace(obs=obs, env_state=env_state)
     if mesh is not None:
         from ..parallel.mesh import shard_train_carry
         carry = shard_train_carry(mesh, carry)
     return TrainContext(env=env, agent=agent, rb=rb, round_fn=round_fn,
                         carry=carry, steps_per_round=horizon_len * num_envs,
-                        update_from_rollout=update_from_rollout)
+                        update_from_rollout=update_from_rollout,
+                        use_host_rollout=use_host_rollout)
 
 
 def train_agent(args: Config, if_single_process: bool = True) -> dict:
@@ -228,6 +253,22 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
                 [packed, jnp.sum(metrics['action_hist'], axis=0).astype(jnp.float32)])
         return carry, packed
 
+    # Host-rollout mode (host-callback envs only, default on, decided once in
+    # build_training): exploration runs on the host — actor inference on the
+    # in-process CPU backend, envs stepped directly on the pool — and only
+    # the update half dispatches to the accelerator.  One params fetch + one
+    # rollout upload per round replaces horizon_len ordered io_callback
+    # round-trips (~25 ms each over the tunneled TPU link).  This is the
+    # reference Worker process (run.py:361-418) re-created: actor broadcast
+    # out, rollout gather back.
+    use_host_rollout = ctx.use_host_rollout
+    params_fetch = None
+    if use_host_rollout:
+        from ..envs.host_env import make_params_fetcher
+        cpu = jax.devices('cpu')[0]
+        params_fetch = make_params_fetcher(
+            agent.explore_view, agent.explore_merge, carry.agent_state, cpu)
+
     '''evaluator (reference run.py:79-82)'''
     # host-callback envs own a stateful pool: the evaluator gets its OWN
     # instance so eval episodes can't reset/resize the training pool
@@ -237,7 +278,8 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
                            args.eval_env_args or dict(args.env_args))
         eval_env = _resolve_env_def(eval_args)
     evaluator = Evaluator(cwd=args.cwd, env=eval_env,
-                          greedy_action=agent.greedy_action, args=args)
+                          greedy_action=agent.greedy_action, args=args,
+                          host_eval=use_host_rollout, params_fetch=params_fetch)
 
     rounds_per_eval = max(1, int(args.eval_per_step) // steps_per_round)
 
@@ -257,23 +299,12 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
             evaluator.finish(handle, exp_r=metrics.get('exp_r', 0.0),
                              logging_tuple=logging_tuple)
 
-    # Host-rollout mode (host-callback envs only, default on): exploration
-    # runs on the host — actor inference on the in-process CPU backend, envs
-    # stepped directly on the pool — and only the update half dispatches to
-    # the accelerator.  One params fetch + one rollout upload per round
-    # replaces horizon_len ordered io_callback round-trips (~25 ms each over
-    # the tunneled TPU link).  This is the reference Worker process
-    # (run.py:361-418) re-created: actor broadcast out, rollout gather back.
-    use_host_rollout = (env.host_pool is not None and mesh is None
-                        and bool(getattr(args, 'host_rollout', True)))
-
     total_step = 0
     t_start = time.time()
     if_train = True
     if use_host_rollout:
         from ..agents.base import Rollout
         from ..envs.host_env import host_collect_rollout
-        cpu = jax.devices('cpu')[0]
         explore_jit = jax.jit(agent.explore_action)
         env_action_jit = jax.jit(agent.env_action)
         horizon_len = int(args.horizon_len)
@@ -288,43 +319,13 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
                     [packed, metrics['action_hist'].astype(jnp.float32)])
             return carry, packed
 
-        # The tunneled link runs ~55 MB/s with ~24 ms per transfer, so the
-        # per-round params fetch must be (a) ONE flat buffer, not a pytree of
-        # dozens of leaves, and (b) only the actor sub-pytree the exploration
-        # path reads (agent.explore_view) — opt states and critic ensembles
-        # dominate the bytes and are never consumed on the host.
-        try:
-            from jax.flatten_util import ravel_pytree
-            if agent.explore_view is not None:
-                _, _unravel = ravel_pytree(
-                    agent.explore_view(carry.agent_state))
-                _pack = jax.jit(lambda s: ravel_pytree(agent.explore_view(s))[0])
-                _full_host = jax.device_put(carry.agent_state, cpu)
-
-                def fetch_params():
-                    flat = np.asarray(_pack(carry.agent_state))
-                    with jax.default_device(cpu):
-                        return agent.explore_merge(
-                            _full_host, _unravel(jnp.asarray(flat)))
-            else:
-                _, _unravel = ravel_pytree(carry.agent_state)
-                _pack = jax.jit(lambda s: ravel_pytree(s)[0])
-
-                def fetch_params():
-                    flat = np.asarray(_pack(carry.agent_state))
-                    with jax.default_device(cpu):
-                        return _unravel(jnp.asarray(flat))
-        except Exception:  # non-ravelable state: per-leaf transfer fallback
-            def fetch_params():
-                return jax.device_put(carry.agent_state, cpu)
-
         obs_host = np.asarray(carry.obs)
         with jax.default_device(cpu):
             k_host = jax.random.key(int(args.random_seed) + 0x705)
         while if_train:
             packs = []
             for _ in range(rounds_per_eval):
-                params_cpu = fetch_params()
+                params_cpu = params_fetch(carry.agent_state)
                 with jax.default_device(cpu):
                     k_host, k_roll = jax.random.split(k_host)
                 arrs, obs_host = host_collect_rollout(
@@ -337,8 +338,8 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
                 packs.append(packed)   # device arrays; fetched at eval time
             handle = evaluator.dispatch(
                 carry.agent_state, steps=steps_per_round * rounds_per_eval)
-            _process(np.mean(np.stack([np.asarray(p) for p in packs]), 0),
-                     handle)
+            # one on-device stack + ONE host fetch, not rounds_per_eval fetches
+            _process(np.asarray(jnp.mean(jnp.stack(packs), 0)), handle)
             total_step += steps_per_round * rounds_per_eval
             if_train = (total_step <= args.break_step
                         and evaluator.max_r < args.break_score

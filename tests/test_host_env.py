@@ -113,3 +113,89 @@ def test_host_rollout_training_runs_and_records(tmp_path):
     assert r['total_step'] >= 256
     assert len(r['recorder']) >= 1
     assert np.isfinite(r['recorder'][:, 1]).all()
+
+def test_host_rollout_flag_disables_host_eval(tmp_path):
+    """args.host_rollout=False must disable BOTH the host-rollout training
+    loop and the evaluator's host-pool path (docs/api.md contract)."""
+    from elegantrl_tpu.train.evaluator import make_eval_fn
+    from elegantrl_tpu.train.runner import train_agent
+    env = _pendulum_def()
+    # make_eval_fn host branch is gated by host_eval
+    fn = make_eval_fn(env, lambda s, o: np.zeros((o.shape[0], 1), np.float32),
+                      num_episodes=2, max_step=4, host_eval=False)
+    assert fn.__name__ != 'eval_fn_host'
+    # full training honors the flag end to end (io_callback path on CPU JAX)
+    args = Config(AgentPPO, env,
+                  {'env_name': 'Pendulum-v1', 'num_envs': 4, 'max_step': 200,
+                   'state_dim': 3, 'action_dim': 1, 'if_discrete': False})
+    args.net_dims = (16,)
+    args.horizon_len = 16
+    args.batch_size = 32
+    args.repeat_times = 1
+    args.eval_per_step = 64
+    args.eval_times = 2
+    args.break_step = 128
+    args.host_rollout = False
+    args.cwd = str(tmp_path / 'no_host_rollout')
+    from elegantrl_tpu.train.runner import build_training
+    ctx = build_training(args)
+    assert not ctx.use_host_rollout
+    r = train_agent(args)
+    assert r['total_step'] >= 128 and np.isfinite(r['recorder'][:, 1]).all()
+
+
+def test_host_eval_uses_flat_params_fetch(tmp_path):
+    """The evaluator's host path goes through the shared one-flat-buffer
+    actor fetch (make_params_fetcher), not a per-leaf pytree transfer."""
+    from elegantrl_tpu.envs.host_env import make_params_fetcher
+    env = _pendulum_def()
+    args = Config(AgentPPO, env,
+                  {'env_name': 'Pendulum-v1', 'num_envs': 4, 'max_step': 200,
+                   'state_dim': 3, 'action_dim': 1, 'if_discrete': False})
+    args.net_dims = (16,)
+    args.horizon_len = 8
+    ctx = build_training(args)
+    cpu = jax.devices('cpu')[0]
+    fetch = make_params_fetcher(ctx.agent.explore_view,
+                                ctx.agent.explore_merge,
+                                ctx.carry.agent_state, cpu)
+    params_cpu = fetch(ctx.carry.agent_state)
+    # greedy inference works off the fetched view
+    with jax.default_device(cpu):
+        a = ctx.agent.greedy_action(params_cpu, ctx.carry.obs)
+    assert np.asarray(a).shape == (4, 1)
+    # and the fetched actor leaves match the device state exactly
+    view_dev = jax.tree.leaves(ctx.agent.explore_view(ctx.carry.agent_state))
+    view_cpu = jax.tree.leaves(ctx.agent.explore_view(params_cpu))
+    for d, c in zip(view_dev, view_cpu):
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(c))
+
+
+def test_host_rollout_resume_repoints_obs(tmp_path):
+    """continue_train with a host pool must NOT feed checkpointed obs to a
+    freshly-reset pool: the restored carry re-points obs at the pool's
+    actual episode starts."""
+    from elegantrl_tpu.train.runner import train_agent
+    env = _pendulum_def()
+
+    def _args():
+        a = Config(AgentPPO, env,
+                   {'env_name': 'Pendulum-v1', 'num_envs': 4, 'max_step': 200,
+                    'state_dim': 3, 'action_dim': 1, 'if_discrete': False})
+        a.net_dims = (16,)
+        a.horizon_len = 16
+        a.batch_size = 32
+        a.repeat_times = 1
+        a.eval_per_step = 64
+        a.eval_times = 2
+        a.break_step = 128
+        a.cwd = str(tmp_path / 'resume_host')
+        return a
+
+    train_agent(_args())
+    args2 = _args()
+    args2.continue_train = True
+    ctx2 = build_training(args2)
+    # obs must equal the pool's current obs (fresh resets), bitwise
+    np.testing.assert_array_equal(np.asarray(ctx2.carry.obs),
+                                  env.host_pool.obs)
