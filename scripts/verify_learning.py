@@ -352,17 +352,20 @@ def _run_ppoh_hopper_mujoco_host():
     from elegantrl_tpu.agents import AgentPPOHterm
     from elegantrl_tpu.envs.gym_parity import gym_env_def, get_env_args
     from elegantrl_tpu.train.runner import train_agent
-    env = gym_env_def('Hopper-v5', num_threads=8)
-    args = Config(AgentPPOHterm, env, get_env_args(env, num_envs=32))
+    env = gym_env_def('Hopper-v5', num_threads=16)
+    args = Config(AgentPPOHterm, env, get_env_args(env, num_envs=64))
     args.net_dims = (128, 128)
     args.gamma = 0.99
-    args.horizon_len = 256           # 8192 env-steps per round
-    args.repeat_times = 32           # -> 4 SGD updates per round
+    args.horizon_len = 128           # 8192 env-steps per round
+    args.repeat_times = 320          # -> 20 SGD updates/round = 5 sample
+    #                                  epochs (the 1-epoch first try stalled
+    #                                  at avgR ~730; Hopper PPO conventionally
+    #                                  reuses each batch 5-10x)
     args.learning_rate = 3e-4
     args.batch_size = 2048
     args.eval_per_step = int(1e5)
     args.eval_times = 4
-    args.break_step = int(3e6)
+    args.break_step = int(6e6)
     args.break_score = 2500.0
     args.cwd = '/tmp/verify_ppoh_hopper_mujoco'
     r = train_agent(args)
