@@ -65,6 +65,11 @@ class AgentDef(NamedTuple):
     # optional: (agent_state, rollout, last_obs) -> (H, N) backward-discounted
     # returns for lambda_fit_cum_r (reference AgentBase.get_cumulative_rewards)
     cum_returns: Any = None
+    # optional: (agent_state, rollout, last_obs) -> agent_state, run on the
+    # fresh rollout BEFORE ``update`` — off-policy agents whose update only
+    # sees the replay buffer use this to harvest rollout-level structure
+    # (e.g. the H-term rehearsal ring's best k-step windows)
+    pre_update: Any = None
     # optional pair for host-rollout mode (train/runner.py): fetch only the
     # sub-pytree ``explore_action``/``greedy_action`` actually read instead of
     # the whole agent state (opt states + critic ensembles dominate the bytes

@@ -19,7 +19,7 @@ Behavioral parity targets (reference ``elegantrl/agents/AgentTD3.py``):
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +38,18 @@ class DDPGState(NamedTuple):
     cri_opt: tuple
 
 
+class DDPGHtermState(NamedTuple):
+    act: list
+    act_target: list
+    cri: list
+    cri_target: list
+    act_opt: tuple
+    cri_opt: tuple
+    h_buf: Any
+
+
 def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
-          td3: bool) -> AgentDef:
+          td3: bool, hterm: bool = False) -> AgentDef:
     gamma = float(getattr(args, 'gamma', 0.99))
     lr = float(getattr(args, 'learning_rate', 6e-5))
     clip_grad = float(getattr(args, 'clip_grad_norm', 3.0))
@@ -55,6 +65,14 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
     update_freq = int(getattr(args, 'update_freq', 2))
     num_ensembles = int(getattr(args, 'num_ensembles', 8)) if td3 else 1
     policy_noise_std = float(getattr(args, 'policy_noise_std', 0.10))
+    # H-term hypers: same surface as AgentPPOHterm (plan_PPO_H.py:53-57);
+    # the deterministic-policy form is an action-regression rehearsal term
+    # (see agents/hterm.py — docs/source/tutorial/hterm.rst names DDPG/TD3
+    # among the implemented variants, all absent from the snapshot)
+    h_term_lambda = float(getattr(args, 'h_term_lambda', 2 ** -3))
+    h_term_drop_rate = float(getattr(args, 'h_term_drop_rate', 2 ** -2))
+    h_term_k_step = int(getattr(args, 'h_term_k_step', 16))
+    h_term_buffer_size = int(getattr(args, 'h_term_buffer_size', 2 ** 12))
     net_dims = tuple(net_dims)
 
     optimizer = make_optimizer(lr, clip_grad)
@@ -64,9 +82,14 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
         act = mlp_init(k1, (state_dim, *net_dims, action_dim), out_std=0.1)
         cri = mlp_init(k2, (state_dim + action_dim, *net_dims, num_ensembles),
                        out_std=0.5)
-        return DDPGState(act=act, act_target=jax.tree.map(jnp.copy, act),
-                         cri=cri, cri_target=jax.tree.map(jnp.copy, cri),
-                         act_opt=optimizer.init(act), cri_opt=optimizer.init(cri))
+        base = dict(act=act, act_target=jax.tree.map(jnp.copy, act),
+                    cri=cri, cri_target=jax.tree.map(jnp.copy, cri),
+                    act_opt=optimizer.init(act), cri_opt=optimizer.init(cri))
+        if not hterm:
+            return DDPGState(**base)
+        from .hterm import init_hterm_buffer
+        return DDPGHtermState(**base, h_buf=init_hterm_buffer(
+            h_term_buffer_size, h_term_k_step, state_dim, action_dim))
 
     def actor(params, obs):
         return jnp.tanh(mlp_apply(params, obs))
@@ -88,6 +111,11 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
         return actor(s.act, obs)
 
     def objectives(s: DDPGState, buf_state, key, update_t):
+        # split for the H-term only when it consumes randomness, so plain
+        # DDPG/TD3's RNG stream (and verified learning rows) is unchanged
+        k_h = None
+        if hterm:
+            key, k_h = jax.random.split(key)
         k_sample, k_noise = jax.random.split(key)
         if if_use_per:
             (state, action, reward, undone, unmask, next_state, is_weight,
@@ -134,7 +162,22 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
             act, act_opt, act_target = operands
 
             def act_loss_fn(ap):
-                return -jnp.mean(q_mean(cri, state, actor(ap, state)))
+                loss = -jnp.mean(q_mean(cri, state, actor(ap, state)))
+                if hterm:
+                    # deterministic-policy H-term: return-weighted regression
+                    # of the actor onto rehearsed high-return windows (the
+                    # likelihood bonus degenerates to -MSE for a Dirac policy)
+                    from .hterm import rehearsal_sample
+                    h_batch = max(1, int(batch_size * h_term_drop_rate))
+                    hs, ha, hm, w, valid = rehearsal_sample(s.h_buf, k_h,
+                                                            h_batch)
+                    mse = jnp.mean(jnp.square(actor(ap, hs) - ha), axis=-1)
+                    mse_mean = jnp.sum(mse * hm, 1) / jnp.maximum(
+                        jnp.sum(hm, 1), 1.0)
+                    h_obj = jnp.sum(mse_mean * w * valid) / jnp.maximum(
+                        jnp.sum(valid), 1.0)
+                    loss = loss + h_term_lambda * h_obj
+                return loss
 
             obj_neg, g_act = jax.value_and_grad(act_loss_fn)(act)
             act, act_opt = grad_step(optimizer, act, act_opt, g_act)
@@ -148,10 +191,27 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
         act, act_opt, act_target, obj_actor, a_upd = jax.lax.cond(
             do_actor, actor_step, actor_skip, (s.act, s.act_opt, s.act_target))
 
-        new = DDPGState(act, act_target, cri, cri_target, act_opt, cri_opt)
+        new = s._replace(act=act, act_target=act_target, cri=cri,
+                         cri_target=cri_target, act_opt=act_opt,
+                         cri_opt=cri_opt)
         return new, buf_state, (obj_critic, obj_actor, a_upd)
 
     update = make_offpolicy_update(batch_size, repeat_times, objectives)
+
+    pre_update = None
+    if hterm:
+        from .hterm import discounted_window_returns, insert_best_windows
+
+        def pre_update(s: DDPGHtermState, rollout, last_obs):
+            """Harvest each env's best k-step window from the fresh rollout
+            (quality = masked discounted window return) into the ring."""
+            q = discounted_window_returns(rollout.rewards, rollout.undones,
+                                          rollout.unmasks, gamma,
+                                          h_term_k_step)
+            h_buf = insert_best_windows(s.h_buf, rollout.states,
+                                        rollout.actions, rollout.undones,
+                                        rollout.unmasks, q, h_term_k_step)
+            return s._replace(h_buf=h_buf)
 
     def cum_returns(s: DDPGState, rollout, last_obs):
         # reference AgentBase.get_cumulative_rewards (AgentBase.py:226-237):
@@ -160,17 +220,22 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
         next_v = q_mean(s.cri_target, last_obs, actor(s.act_target, last_obs))
         return _cr(rollout.rewards, rollout.undones, next_v, gamma)
 
-    return AgentDef(name='AgentTD3' if td3 else 'AgentDDPG',
+    name = (('AgentTD3Hterm' if hterm else 'AgentTD3') if td3 else
+            ('AgentDDPGHterm' if hterm else 'AgentDDPG'))
+    return AgentDef(name=name,
                     if_off_policy=True, if_discrete=False,
                     init=init, explore_action=explore_action,
                     greedy_action=greedy_action, env_action=lambda a: a,
                     update=update, cum_returns=cum_returns,
+                    pre_update=pre_update,
                     explore_view=lambda s: s.act,
                     explore_merge=lambda f, v: f._replace(act=v))
 
 
 make_td3 = partial(_make, td3=True)
 make_ddpg = partial(_make, td3=False)
+make_td3_hterm = partial(_make, td3=True, hterm=True)
+make_ddpg_hterm = partial(_make, td3=False, hterm=True)
 
 
 class AgentTD3:
@@ -179,3 +244,15 @@ class AgentTD3:
 
 class AgentDDPG:
     make = staticmethod(make_ddpg)
+
+
+class AgentTD3Hterm:
+    """TD3 + H-term (reference docs hterm.rst; ``plan_DDPG_H.py:16`` selects
+    the H variants by drl_id — implementations absent from the snapshot)."""
+    make = staticmethod(make_td3_hterm)
+
+
+class AgentDDPGHterm:
+    """DDPG + H-term (imported by reference ``examples/plan_DDPG_H.py:6``
+    from a module that does not define it)."""
+    make = staticmethod(make_ddpg_hterm)

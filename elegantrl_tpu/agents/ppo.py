@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from ..envs.base import EnvSpec
 from ..ops import dists, gae
 from ..ops.nets import mlp_apply, mlp_init
+from .hterm import (HtermBuffer, init_hterm_buffer, insert_best_windows,
+                    rehearsal_sample, return_bounds)
 from .base import (AgentDef, Rollout, chunked_map, grad_step, make_optimizer,
                    sample_flat_ids)
 
@@ -42,28 +44,6 @@ class PPOState(NamedTuple):
     cri_opt: tuple
     norm_avg: jax.Array  # (S,) state normalization (shared act/cri)
     norm_std: jax.Array  # (S,)
-
-
-class HtermBuffer(NamedTuple):
-    """Device-resident rehearsal ring of high-return k-step windows.
-
-    The reference's H-term (``AgentPPOHterm``) is a README-headline feature
-    ("~6x faster than SB3 on Hopper", README.md:153, docs/source/tutorial/
-    hterm.rst) whose implementation is absent from the reference snapshot —
-    only stale entry scripts remain (``examples/plan_PPO_H.py:53-57`` records
-    the hyper-parameters: h_term_drop_rate, h_term_lambda, h_term_k_step).
-    Semantics per the H-term paper: rehearse k-step sub-trajectories from
-    high-return experience, adding a return-weighted likelihood term to the
-    actor objective.  TPU-native redesign: a fixed-shape ring buffer updated
-    by vectorized scatter; each update inserts every env's best window
-    (per-env argmax over GAE targets) — no Python-side trajectory splitting.
-    """
-    states: jax.Array    # (K, k, S)
-    actions: jax.Array   # (K, k, A)
-    masks: jax.Array     # (K, k)  within-episode validity (stops at terminal)
-    returns: jax.Array   # (K,)    GAE target at the window start (quality label)
-    ptr: jax.Array       # ()
-    count: jax.Array     # ()
 
 
 class PPOHtermState(NamedTuple):
@@ -130,13 +110,8 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
             norm_avg=jnp.zeros(state_dim), norm_std=jnp.ones(state_dim))
         if not hterm:
             return base
-        K, k = h_term_buffer_size, h_term_k_step
-        h_buf = HtermBuffer(
-            states=jnp.zeros((K, k, state_dim)),
-            actions=jnp.zeros((K, k, action_dim)),
-            masks=jnp.zeros((K, k)),
-            returns=jnp.zeros((K,)),
-            ptr=jnp.zeros((), jnp.int32), count=jnp.zeros((), jnp.int32))
+        h_buf = init_hterm_buffer(h_term_buffer_size, h_term_k_step,
+                                  state_dim, action_dim)
         return PPOHtermState(*base, h_buf=h_buf)
 
     def actor_forward(act, norm_avg, norm_std, obs):
@@ -202,58 +177,25 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
         (quality = GAE target at the window start), then precompute the
         return-normalisation bounds used as rehearsal weights.'''
         if hterm:
-            h_buf: HtermBuffer = s.h_buf
-            K = h_term_buffer_size
             k_full = h_term_k_step                # ring-buffer window size
             k_step = min(k_full, horizon_len)     # usable part this rollout
             q = reward_sums[:horizon_len - k_step + 1]          # (Hq, N)
-            t0 = jnp.argmax(q, axis=0)                          # (N,)
-            labels = jnp.take_along_axis(q, t0[None], axis=0)[0]
-            env_ids = jnp.arange(num_envs)[None, :]
-            # always gather k_full steps (clamped) so the scatter below
-            # matches the buffer allocation even when horizon < k_full;
-            # the out-of-range tail is masked invalid
-            t_idx = jnp.minimum(t0[None, :] + jnp.arange(k_full)[:, None],
-                                horizon_len - 1)                # (k, N)
-            w_states = states[t_idx, env_ids]                   # (k, N, S)
-            w_actions = actions[t_idx, env_ids]                 # (k, N, A)
-            # validity stops after the first episode boundary inside the
-            # window — terminal OR truncation (auto-reset splices a new
-            # episode either way)
-            stop = (undones * unmasks)[t_idx, env_ids]          # (k, N)
-            in_range = (jnp.arange(k_full) < k_step)[:, None]
-            w_masks = jnp.concatenate(
-                [jnp.ones((1, num_envs)),
-                 jnp.cumprod(stop, axis=0)[:-1]], 0) * in_range
-            slot = (h_buf.ptr + jnp.arange(num_envs)) % K
-            h_buf = h_buf._replace(
-                states=h_buf.states.at[slot].set(w_states.transpose(1, 0, 2)),
-                actions=h_buf.actions.at[slot].set(w_actions.transpose(1, 0, 2)),
-                masks=h_buf.masks.at[slot].set(w_masks.T),
-                returns=h_buf.returns.at[slot].set(labels),
-                ptr=(h_buf.ptr + num_envs) % K,
-                count=jnp.minimum(h_buf.count + num_envs, K))
-            filled = jnp.arange(K) < h_buf.count
-            r_min = jnp.min(jnp.where(filled, h_buf.returns, jnp.inf))
-            r_max = jnp.max(jnp.where(filled, h_buf.returns, -jnp.inf))
+            h_buf = insert_best_windows(s.h_buf, states, actions, undones,
+                                        unmasks, q, k_full)
+            r_min, r_max = return_bounds(h_buf)
             h_batch = max(1, int(batch_size * h_term_drop_rate))
 
             def h_objective(ap, key_h):
                 """Return-weighted likelihood of rehearsed windows
                 (maximised): the H-term proper."""
-                ids = jax.random.randint(
-                    key_h, (h_batch,), 0, jnp.maximum(h_buf.count, 1))
-                hs = h_buf.states[ids]                          # (B, k, S)
+                hs, ha, hm, w, valid = rehearsal_sample(
+                    h_buf, key_h, h_batch, r_min, r_max)
                 out = mlp_apply(ap['mlp'],
                                 _norm_state(hs, s.norm_avg, s.norm_std),
                                 dtype=compute_dtype)
                 std_a = jnp.exp(ap['std_log'])
-                lp = jnp.sum(dists.normal_logprob(
-                    h_buf.actions[ids], out, std_a), axis=-1)   # (B, k)
-                hm = h_buf.masks[ids]
+                lp = jnp.sum(dists.normal_logprob(ha, out, std_a), axis=-1)
                 lp_mean = jnp.sum(lp * hm, 1) / jnp.maximum(jnp.sum(hm, 1), 1.0)
-                w = (h_buf.returns[ids] - r_min) / (r_max - r_min + 1e-6)
-                valid = (ids < h_buf.count).astype(jnp.float32)
                 return jnp.sum(lp_mean * w * valid) / jnp.maximum(
                     jnp.sum(valid), 1.0)
 

@@ -45,8 +45,21 @@ class SACState(NamedTuple):
     update_a: jax.Array          # () int32, ModSAC actor-update counter
 
 
+class SACHtermState(NamedTuple):
+    act: dict
+    act_target: Optional[dict]
+    cri: dict
+    cri_target: dict
+    act_opt: tuple
+    cri_opt: tuple
+    alpha_log: jax.Array
+    alpha_opt: tuple
+    update_a: jax.Array
+    h_buf: object
+
+
 def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
-             modsac: bool = False) -> AgentDef:
+             modsac: bool = False, hterm: bool = False) -> AgentDef:
     gamma = float(getattr(args, 'gamma', 0.99))
     lr = float(getattr(args, 'learning_rate', 6e-5))
     clip_grad = float(getattr(args, 'clip_grad_norm', 3.0))
@@ -61,6 +74,12 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
     else:
         target_entropy = float(jnp.log(action_dim))
     std_clip = (-20.0, 2.0) if modsac else (-16.0, 2.0)
+    # H-term hypers (same surface as AgentPPOHterm; docs hterm.rst names SAC
+    # among the implemented-but-absent variants)
+    h_term_lambda = float(getattr(args, 'h_term_lambda', 2 ** -3))
+    h_term_drop_rate = float(getattr(args, 'h_term_drop_rate', 2 ** -2))
+    h_term_k_step = int(getattr(args, 'h_term_k_step', 16))
+    h_term_buffer_size = int(getattr(args, 'h_term_buffer_size', 2 ** 12))
     net_dims = tuple(net_dims)
 
     optimizer = make_optimizer(lr, clip_grad)
@@ -81,7 +100,7 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
                 keys[4], num_ensembles,
                 lambda k: mlp_init(k, (*net_dims, 1), out_std=0.5)),
         }
-        return SACState(
+        base = dict(
             act=act,
             act_target=jax.tree.map(jnp.copy, act) if modsac else None,
             cri=cri, cri_target=jax.tree.map(jnp.copy, cri),
@@ -89,6 +108,11 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
             alpha_log=jnp.asarray(-1.0),
             alpha_opt=alpha_optimizer.init(jnp.asarray(-1.0)),
             update_a=jnp.zeros((), jnp.int32))
+        if not hterm:
+            return SACState(**base)
+        from .hterm import init_hterm_buffer
+        return SACHtermState(**base, h_buf=init_hterm_buffer(
+            h_term_buffer_size, h_term_k_step, state_dim, action_dim))
 
     def actor_dist(act, obs):
         """Returns (mean, log_std)."""
@@ -134,6 +158,11 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
         return jnp.tanh(mean)
 
     def objectives(s: SACState, buf_state, key, update_t):
+        # split for the H-term only when it consumes randomness, so plain
+        # SAC/ModSAC's RNG stream (and verified learning rows) is unchanged
+        k_h = None
+        if hterm:
+            key, k_h = jax.random.split(key)
         k_sample, k_next, k_pg = jax.random.split(key, 3)
         if if_use_per:
             (state, action, reward, undone, unmask, next_state, is_weight,
@@ -191,7 +220,28 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
             def act_loss_fn(ap):
                 a_pg, lp = get_action_logprob(ap, state, k_pg)
                 q_pg = jnp.mean(q_values(cri_target, state, a_pg))
-                return -jnp.mean(q_pg - lp * alpha)
+                loss = -jnp.mean(q_pg - lp * alpha)
+                if hterm:
+                    # stochastic-policy H-term: return-weighted likelihood of
+                    # rehearsed high-return windows; stored actions are
+                    # tanh-squashed, so invert through a clipped atanh
+                    from .hterm import rehearsal_sample
+                    h_batch = max(1, int(batch_size * h_term_drop_rate))
+                    hs, ha, hm, w, valid = rehearsal_sample(s.h_buf, k_h,
+                                                            h_batch)
+                    mean_h, log_std_h = actor_dist(ap, hs)
+                    pre = jnp.arctanh(jnp.clip(ha, -0.999999, 0.999999))
+                    z = (pre - mean_h) / jnp.exp(log_std_h)
+                    lp_h = jnp.sum(
+                        -0.5 * jnp.square(z) - log_std_h
+                        - 0.5 * jnp.log(2.0 * jnp.pi)
+                        - jnp.log(1.000001 - jnp.square(ha)), axis=-1)
+                    lp_mean = jnp.sum(lp_h * hm, 1) / jnp.maximum(
+                        jnp.sum(hm, 1), 1.0)
+                    h_obj = jnp.sum(lp_mean * w * valid) / jnp.maximum(
+                        jnp.sum(valid), 1.0)
+                    loss = loss - h_term_lambda * h_obj
+                return loss
 
             obj_neg, g_act = jax.value_and_grad(act_loss_fn)(act)
             act, act_opt = grad_step(optimizer, act, act_opt, g_act)
@@ -206,11 +256,28 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
         act, act_opt, act_target, obj_actor, a_upd = jax.lax.cond(
             do_actor, actor_step, actor_skip, (s.act, s.act_opt, s.act_target))
 
-        new = SACState(act, act_target, cri, cri_target, act_opt, cri_opt,
-                       alpha_log, alpha_opt, update_a)
+        new = s._replace(act=act, act_target=act_target, cri=cri,
+                         cri_target=cri_target, act_opt=act_opt,
+                         cri_opt=cri_opt, alpha_log=alpha_log,
+                         alpha_opt=alpha_opt, update_a=update_a)
         return new, buf_state, (obj_critic, obj_actor, a_upd)
 
     update = make_offpolicy_update(batch_size, repeat_times, objectives)
+
+    pre_update = None
+    if hterm:
+        from .hterm import discounted_window_returns, insert_best_windows
+
+        def pre_update(s: SACHtermState, rollout, last_obs):
+            """Harvest each env's best k-step window from the fresh rollout
+            (quality = masked discounted window return) into the ring."""
+            q = discounted_window_returns(rollout.rewards, rollout.undones,
+                                          rollout.unmasks, gamma,
+                                          h_term_k_step)
+            h_buf = insert_best_windows(s.h_buf, rollout.states,
+                                        rollout.actions, rollout.undones,
+                                        rollout.unmasks, q, h_term_k_step)
+            return s._replace(h_buf=h_buf)
 
     def cum_returns(s: SACState, rollout, last_obs):
         from ..ops.gae import cumulative_returns as _cr
@@ -219,11 +286,14 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
         next_v = jnp.mean(q_values(s.cri_target, last_obs, jnp.tanh(mean)), axis=-1)
         return _cr(rollout.rewards, rollout.undones, next_v, gamma)
 
-    return AgentDef(name='AgentModSAC' if modsac else 'AgentSAC',
+    name = (('AgentModSACHterm' if hterm else 'AgentModSAC') if modsac else
+            ('AgentSACHterm' if hterm else 'AgentSAC'))
+    return AgentDef(name=name,
                     if_off_policy=True, if_discrete=False,
                     init=init, explore_action=explore_action,
                     greedy_action=greedy_action, env_action=lambda a: a,
                     update=update, cum_returns=cum_returns,
+                    pre_update=pre_update,
                     explore_view=lambda s: s.act,
                     explore_merge=lambda f, v: f._replace(act=v))
 
@@ -234,3 +304,13 @@ class AgentSAC:
 
 class AgentModSAC:
     make = staticmethod(partial(make_sac, modsac=True))
+
+
+class AgentSACHterm:
+    """SAC + H-term (reference docs hterm.rst names SAC among the
+    implemented variants; absent from the snapshot)."""
+    make = staticmethod(partial(make_sac, modsac=False, hterm=True))
+
+
+class AgentModSACHterm:
+    make = staticmethod(partial(make_sac, modsac=True, hterm=True))

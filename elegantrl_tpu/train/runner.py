@@ -163,14 +163,17 @@ def build_training(args: Config, mesh=None) -> TrainContext:
     def _update_half(carry: TrainCarry, rollout, env_state, obs, key, k_upd):
         exp_r = jnp.mean(rollout.rewards)
         if agent.if_off_policy:
+            agent_state0 = carry.agent_state
+            if agent.pre_update is not None:  # e.g. H-term window harvest
+                agent_state0 = agent.pre_update(agent_state0, rollout, obs)
             buf_state = rb.update(carry.buf_state, (
                 rollout.states, rollout.actions, rollout.rewards,
                 rollout.undones, rollout.unmasks))
             if rb.if_use_cum_rewards and agent.cum_returns is not None:
-                returns = agent.cum_returns(carry.agent_state, rollout, obs)
+                returns = agent.cum_returns(agent_state0, rollout, obs)
                 buf_state = rb.update_cum_rewards(buf_state, horizon_len, returns)
             agent_state, buf_state, metrics = agent.update(
-                carry.agent_state, buf_state, k_upd)
+                agent_state0, buf_state, k_upd)
         else:
             buf_state = carry.buf_state
             agent_state, metrics = agent.update(
