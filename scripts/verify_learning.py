@@ -19,7 +19,7 @@ from elegantrl_tpu.agents import (
     AgentPPO, AgentA2C, AgentDiscretePPO, AgentDiscreteA2C, AgentDQN,
     AgentDoubleDQN, AgentDuelingDQN, AgentD3QN, AgentEmbedDQN,
     AgentEnsembleDQN, AgentDDPG, AgentTD3, AgentSAC, AgentModSAC,
-    AgentPPOHterm,
+    AgentPPOHterm, AgentDDPGHterm,
 )
 from elegantrl_tpu.envs import (
     PendulumEnv, CartPoleEnv, HopperEnv, LunarLanderContinuousEnv,
@@ -177,6 +177,19 @@ CONFIGS = {
                         buffer_size=int(4e3), batch_size=1024,
                         repeat_times=4.0, learning_rate=3e-4,
                         eval_per_step=int(4e5), break_step=int(6e6))),
+    # off-policy H-term variants (reference plan_DDPG_H.py surface; the
+    # deterministic H-term is a return-weighted action regression onto
+    # rehearsed high-return windows, agents/hterm.py)
+    'ddpgh_hopper': (AgentDDPGHterm,
+                     {'env_class': HopperEnv,
+                      'env_args': {'env_name': 'HopperSlip-v0',
+                                   'num_envs': 1024, 'max_step': 1000,
+                                   'state_dim': 6, 'action_dim': 2,
+                                   'if_discrete': False}}, 1000,
+                     dict(net_dims=(128, 128), gamma=0.99, horizon_len=32,
+                          buffer_size=int(4e3), batch_size=1024,
+                          repeat_times=4.0, learning_rate=3e-4,
+                          eval_per_step=int(4e5), break_step=int(6e6))),
     'sac_hopper': (AgentSAC,
                    {'env_class': HopperEnv,
                     'env_args': {'env_name': 'HopperSlip-v0',
