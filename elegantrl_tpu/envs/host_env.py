@@ -22,21 +22,63 @@ import numpy as np
 from .base import EnvDef, EnvSpec
 
 
+def _proc_worker(env_fn, seed, idxs, conn):
+    """Child side of the process pool: owns envs for global indices ``idxs``.
+
+    Protocol (parent -> child): ('step', actions_chunk) | ('reset',) |
+    ('close',).  Replies with the chunk's (obs, reward, terminal, truncate)
+    or obs.  Construction/seeding matches the sequential path exactly so
+    pooled stepping is bit-identical to sequential."""
+    envs = [env_fn() for _ in idxs]
+    obs = np.stack([e.reset(seed=seed + g)[0]
+                    for e, g in zip(envs, idxs)]).astype(np.float32)
+    while True:
+        msg = conn.recv()
+        if msg[0] == 'step':
+            actions = msg[1]
+            rewards = np.zeros(len(envs), np.float32)
+            terminals = np.zeros(len(envs), bool)
+            truncates = np.zeros(len(envs), bool)
+            for j, e in enumerate(envs):
+                a = np.asarray(actions[j])
+                o, r, term, trunc, _ = e.step(a.item() if a.ndim == 0 else a)
+                if term or trunc:
+                    o, _ = e.reset()
+                obs[j] = np.asarray(o, np.float32)
+                rewards[j] = r
+                terminals[j] = term
+                truncates[j] = trunc
+            conn.send((obs, rewards, terminals, truncates))
+        elif msg[0] == 'reset':
+            for j, e in enumerate(envs):
+                obs[j] = e.reset()[0]
+            conn.send(obs)
+        else:
+            conn.close()
+            return
+
+
 class _HostPool:
     """A lazily-built pool of stateful gym envs, stepped as one batch.
 
     ``num_threads > 1`` steps envs on a persistent thread pool — a real win
     for envs whose C core releases the GIL (MuJoCo's ``mj_step``); neutral
-    for GIL-bound ones (pybox2d).  Each worker touches disjoint indices, so
-    results are bit-identical to sequential stepping."""
+    for GIL-bound ones (pybox2d).  ``num_procs > 1`` instead forks a
+    persistent PROCESS pool (the reference's ``SubEnv``/``VecEnv`` pattern,
+    config.py:223-311) — the win for GIL-bound envs.  Either way each worker
+    owns disjoint env indices with sequential-identical construction order
+    and seeding, so results are bit-identical to sequential stepping."""
 
-    def __init__(self, env_fn: Callable, seed: int, num_threads: int = 0):
+    def __init__(self, env_fn: Callable, seed: int, num_threads: int = 0,
+                 num_procs: int = 0):
         self.env_fn = env_fn
         self.seed = seed
         self.envs = None
         self.obs = None
         self.num_threads = int(num_threads)
+        self.num_procs = int(num_procs)
         self._pool = None
+        self._procs = None   # list of (Process, Connection, idxs)
 
     def _executor(self):
         if self._pool is None and self.num_threads > 1:
@@ -45,20 +87,75 @@ class _HostPool:
         return self._pool
 
     def _ensure(self, num_envs: int):
+        if self.num_procs > 1:
+            if self._procs is not None and sum(
+                    len(idxs) for _, _, idxs in self._procs) == num_envs:
+                return
+            self._close_procs()
+            import multiprocessing as mp
+            ctx = mp.get_context('fork')  # env_fn may be a closure
+            chunks = np.array_split(np.arange(num_envs),
+                                    min(self.num_procs, num_envs))
+            self._procs = []
+            for idxs in chunks:
+                if len(idxs) == 0:
+                    continue
+                parent, child = ctx.Pipe()
+                p = ctx.Process(target=_proc_worker,
+                                args=(self.env_fn, self.seed,
+                                      idxs.tolist(), child),
+                                daemon=True)
+                p.start()
+                child.close()
+                self._procs.append((p, parent, idxs))
+            # parent-side obs materializes at the first reset_all/step reply
+            # (workers already hold their seeded initial obs)
+            self.obs = None
+            return
         if self.envs is None or len(self.envs) != num_envs:
             self.envs = [self.env_fn() for _ in range(num_envs)]
             self.obs = np.stack([
                 e.reset(seed=self.seed + i)[0]
                 for i, e in enumerate(self.envs)]).astype(np.float32)
 
+    def _close_procs(self):
+        if self._procs:
+            for p, conn, _ in self._procs:
+                try:
+                    conn.send(('close',))
+                    conn.close()
+                except (BrokenPipeError, OSError):
+                    pass
+                p.join(timeout=2)
+                if p.is_alive():
+                    p.terminate()
+        self._procs = None
+
     def reset_all(self, num_envs_arr):
-        self._ensure(int(num_envs_arr))
+        n = int(num_envs_arr)
+        self._ensure(n)
+        if self._procs is not None:
+            for _, conn, _ in self._procs:
+                conn.send(('reset',))
+            chunks = [conn.recv() for _, conn, _ in self._procs]
+            self.obs = np.concatenate(chunks, 0)
+            return self.obs.copy()
         for i, e in enumerate(self.envs):
             self.obs[i] = e.reset()[0]
         return self.obs.copy()
 
     def step(self, actions):
         self._ensure(actions.shape[0])
+        if self._procs is not None:
+            for _, conn, idxs in self._procs:
+                conn.send(('step', np.asarray(actions)[idxs]))
+            outs = [conn.recv() for _, conn, _ in self._procs]
+            obs = np.concatenate([o[0] for o in outs], 0)
+            rewards = np.concatenate([o[1] for o in outs], 0)
+            terminals = np.concatenate([o[2] for o in outs], 0)
+            truncates = np.concatenate([o[3] for o in outs], 0)
+            self.obs = obs
+            return obs.copy(), rewards, terminals, truncates
         n = len(self.envs)
         rewards = np.zeros(n, np.float32)
         terminals = np.zeros(n, bool)
@@ -85,10 +182,14 @@ class _HostPool:
 
 
 def make_host_env(env_fn: Callable, spec: EnvSpec, seed: int = 0,
-                  num_threads: int = 0) -> EnvDef:
+                  num_threads: int = 0, num_procs: int = 0) -> EnvDef:
     """Wrap ``env_fn() -> gym.Env`` as a *batched* EnvDef (``batched=True``):
-    init/step run on the host for the whole batch via ordered io_callback."""
-    pool = _HostPool(env_fn, seed, num_threads=num_threads)
+    init/step run on the host for the whole batch via ordered io_callback.
+    ``num_threads``: thread-pool stepping (GIL-releasing envs, e.g. MuJoCo);
+    ``num_procs``: forked process-pool stepping (GIL-bound envs, e.g. Box2D
+    — the reference's SubEnv/VecEnv process pattern, config.py:223-311)."""
+    pool = _HostPool(env_fn, seed, num_threads=num_threads,
+                     num_procs=num_procs)
 
     def init(key, num_envs: int):
         del key
@@ -152,7 +253,7 @@ def make_params_fetcher(explore_view, explore_merge, example_state,
         return lambda agent_state: jax.device_put(agent_state, cpu_device)
 
 
-def host_collect_rollout(pool: _HostPool, explore_jit, env_action_jit,
+def host_collect_rollout(pool: _HostPool, explore_env_jit,
                          params_cpu, obs: np.ndarray, key,
                          horizon_len: int, reward_scale: float,
                          cpu_device):
@@ -166,12 +267,22 @@ def host_collect_rollout(pool: _HostPool, explore_jit, env_action_jit,
     (run.py:361-418): exploration off the learner device, synced by one
     actor broadcast + one rollout gather per round.
 
-    Returns numpy arrays ``(states, actions, logprobs, rewards, undones,
-    unmasks)`` shaped like :class:`~..agents.base.Rollout` plus the final
-    obs.  ``explore_jit``/``env_action_jit`` must be jitted versions of the
-    agent's ``explore_action``/``env_action``; all array inputs are
-    CPU-committed so the trace runs on the CPU backend.
+    Why a Python loop and not a jitted scan over io_callback: both fused
+    alternatives were measured SLOWER on the ModSAC lander shape (16 envs,
+    256x256 actor, ~198 ms/round here): a CPU-backend `lax.scan` +
+    per-step ordered io_callback costs ~5.5 ms/step in callback crossings
+    (352 ms/round), and a forked process pool pays pipe round-trips far
+    above the ~50 us Box2D step (9.3k vs 19.0k env-steps/s) — see
+    docs/performance.md "Host-rollout loop anatomy".
+
+    ``explore_env_jit`` must be ONE jitted fn
+    ``(params, obs, key) -> (raw_action, logprob|None, env_action)`` (a
+    single dispatch+sync per step; splitting explore/convert into two jitted
+    calls measurably adds per-step latency).  Returns a ``Rollout`` of numpy
+    arrays plus the final obs; all array inputs are CPU-committed so the
+    trace runs on the CPU backend.
     """
+    from ..agents.base import Rollout
     num_envs = obs.shape[0]
     states = np.empty((horizon_len, num_envs, obs.shape[1]), np.float32)
     rewards = np.empty((horizon_len, num_envs), np.float32)
@@ -179,20 +290,20 @@ def host_collect_rollout(pool: _HostPool, explore_jit, env_action_jit,
     unmasks = np.empty((horizon_len, num_envs), np.float32)
     actions_l, logprobs_l = [], []
     with jax.default_device(cpu_device):
-        keys = jax.random.split(key, horizon_len)
+        keys = list(jax.random.split(key, horizon_len))  # no per-step slicing
         for t in range(horizon_len):
-            action, logprob = explore_jit(params_cpu, jnp.asarray(obs),
-                                          keys[t])
-            env_a = np.asarray(env_action_jit(action))
+            action, logprob, env_a = explore_env_jit(
+                params_cpu, jnp.asarray(obs), keys[t])
             states[t] = obs
             actions_l.append(np.asarray(action))
             logprobs_l.append(None if logprob is None
                               else np.asarray(logprob))
-            obs, r, term, trunc = pool.step(env_a)
+            obs, r, term, trunc = pool.step(np.asarray(env_a))
             rewards[t] = r
             undones[t] = ~term
             unmasks[t] = ~trunc
     actions = np.stack(actions_l)
     logprobs = (None if logprobs_l[0] is None else np.stack(logprobs_l))
-    return (states, actions, logprobs, rewards * reward_scale, undones,
-            unmasks), obs.copy()
+    return Rollout(states=states, actions=actions, logprobs=logprobs,
+                   rewards=rewards * reward_scale, undones=undones,
+                   unmasks=unmasks), obs.copy()

@@ -306,10 +306,12 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
     t_start = time.time()
     if_train = True
     if use_host_rollout:
-        from ..agents.base import Rollout
         from ..envs.host_env import host_collect_rollout
-        explore_jit = jax.jit(agent.explore_action)
-        env_action_jit = jax.jit(agent.env_action)
+        # one jitted explore+convert per step on the CPU backend (measured
+        # fastest — docs/performance.md "Host-rollout loop anatomy")
+        explore_env_jit = jax.jit(lambda p, o, k: (
+            lambda a_lp: (a_lp[0], a_lp[1], agent.env_action(a_lp[0]))
+        )(agent.explore_action(p, o, k)))
         horizon_len = int(args.horizon_len)
         reward_scale = float(args.reward_scale)
 
@@ -332,10 +334,9 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
                 with jax.default_device(cpu):
                     k_host, k_roll = jax.random.split(k_host)
                 arrs, obs_host = host_collect_rollout(
-                    env.host_pool, explore_jit, env_action_jit, params_cpu,
+                    env.host_pool, explore_env_jit, params_cpu,
                     obs_host, k_roll, horizon_len, reward_scale, cpu)
-                rollout = Rollout(*(None if a is None else jnp.asarray(a)
-                                    for a in arrs))
+                rollout = jax.tree.map(jnp.asarray, arrs)        # -> device
                 carry, packed = update_packed(carry, rollout,
                                               jnp.asarray(obs_host))
                 packs.append(packed)   # device arrays; fetched at eval time

@@ -75,14 +75,16 @@ def test_host_collect_rollout_matches_contract():
     args.horizon_len = 8
     ctx = build_training(args)
     cpu = jax.devices('cpu')[0]
-    explore_jit = jax.jit(ctx.agent.explore_action)
-    env_action_jit = jax.jit(ctx.agent.env_action)
+    agent = ctx.agent
+    explore_env_jit = jax.jit(lambda p, o, k: (
+        lambda a_lp: (a_lp[0], a_lp[1], agent.env_action(a_lp[0]))
+    )(agent.explore_action(p, o, k)))
     params_cpu = jax.device_put(ctx.carry.agent_state, cpu)
     obs0 = np.asarray(ctx.carry.obs)
     with jax.default_device(cpu):
         k = jax.random.key(7)
     arrs, last_obs = host_collect_rollout(
-        env.host_pool, explore_jit, env_action_jit, params_cpu, obs0, k,
+        env.host_pool, explore_env_jit, params_cpu, obs0, k,
         horizon_len=8, reward_scale=0.5, cpu_device=cpu)
     states, actions, logprobs, rewards, undones, unmasks = arrs
     assert states.shape == (8, 4, 3) and actions.shape == (8, 4, 1)
@@ -199,3 +201,22 @@ def test_host_rollout_resume_repoints_obs(tmp_path):
     # obs must equal the pool's current obs (fresh resets), bitwise
     np.testing.assert_array_equal(np.asarray(ctx2.carry.obs),
                                   env.host_pool.obs)
+
+
+def test_host_pool_procs_matches_sequential():
+    """Forked process-pool stepping (the reference's SubEnv/VecEnv pattern,
+    config.py:223-311) must be bit-identical to the sequential path."""
+    from elegantrl_tpu.envs.host_env import _HostPool
+    seq = _HostPool(lambda: gym.make('Pendulum-v1'), seed=5)
+    prc = _HostPool(lambda: gym.make('Pendulum-v1'), seed=5, num_procs=3)
+    try:
+        obs_a = seq.reset_all(np.int32(6))
+        obs_b = prc.reset_all(np.int32(6))
+        np.testing.assert_array_equal(obs_a, obs_b)
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            a = rng.uniform(-2, 2, (6, 1)).astype(np.float32)
+            for x, y in zip(seq.step(a), prc.step(a)):
+                np.testing.assert_array_equal(x, y)
+    finally:
+        prc._close_procs()
