@@ -158,6 +158,10 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
         else:
             do_actor = buf_state.size >= buffer_init_size
 
+        if hterm:  # bounds are loop-invariant: keep them out of the grad trace
+            from .hterm import return_bounds
+            h_bounds = return_bounds(s.h_buf)
+
         def actor_step(operands):
             act, act_opt, act_target = operands
 
@@ -170,7 +174,8 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
                     from .hterm import rehearsal_sample
                     h_batch = max(1, int(batch_size * h_term_drop_rate))
                     hs, ha, hm, w, valid = rehearsal_sample(s.h_buf, k_h,
-                                                            h_batch)
+                                                            h_batch,
+                                                            *h_bounds)
                     mse = jnp.mean(jnp.square(actor(ap, hs) - ha), axis=-1)
                     mse_mean = jnp.sum(mse * hm, 1) / jnp.maximum(
                         jnp.sum(hm, 1), 1.0)

@@ -63,6 +63,17 @@ def insert_best_windows(h_buf: HtermBuffer, states, actions, undones,
     k_step = min(k_full, horizon_len)
     t0 = jnp.argmax(q, axis=0)                              # (N,)
     labels = jnp.take_along_axis(q, t0[None], axis=0)[0]
+    if num_envs > K:
+        # more windows than ring slots: the modular scatter below would have
+        # duplicate indices (nondeterministic winner in XLA) — keep the
+        # top-K windows by label instead, deterministically
+        labels, keep = jax.lax.top_k(labels, K)
+        t0 = t0[keep]
+        states = states[:, keep]
+        actions = actions[:, keep]
+        undones = undones[:, keep]
+        unmasks = unmasks[:, keep]
+        num_envs = K
     env_ids = jnp.arange(num_envs)[None, :]
     t_idx = jnp.minimum(t0[None, :] + jnp.arange(k_full)[:, None],
                         horizon_len - 1)                    # (k, N)
@@ -121,4 +132,7 @@ def rehearsal_sample(h_buf: HtermBuffer, key, h_batch: int,
         r_min, r_max = return_bounds(h_buf)
     w = (h_buf.returns[ids] - r_min) / (r_max - r_min + 1e-6)
     valid = (ids < h_buf.count).astype(jnp.float32)
+    # empty ring: bounds are (inf, -inf) and w is NaN — zero it so the
+    # valid-slot contract holds for callers that update before any harvest
+    w = jnp.where(valid > 0, w, 0.0)
     return h_buf.states[ids], h_buf.actions[ids], h_buf.masks[ids], w, valid

@@ -214,6 +214,10 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
             do_actor = jnp.ones((), jnp.bool_)
             update_a = s.update_a
 
+        if hterm:  # bounds are loop-invariant: keep them out of the grad trace
+            from .hterm import return_bounds
+            h_bounds = return_bounds(s.h_buf)
+
         def actor_step(operands):
             act, act_opt, act_target = operands
 
@@ -228,7 +232,8 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
                     from .hterm import rehearsal_sample
                     h_batch = max(1, int(batch_size * h_term_drop_rate))
                     hs, ha, hm, w, valid = rehearsal_sample(s.h_buf, k_h,
-                                                            h_batch)
+                                                            h_batch,
+                                                            *h_bounds)
                     mean_h, log_std_h = actor_dist(ap, hs)
                     pre = jnp.arctanh(jnp.clip(ha, -0.999999, 0.999999))
                     z = (pre - mean_h) / jnp.exp(log_std_h)

@@ -214,7 +214,8 @@ def make_host_env(env_fn: Callable, spec: EnvSpec, seed: int = 0,
 
     return EnvDef(spec=spec, init=init, obs=None, step=step, batched=True,
                   fresh=lambda: make_host_env(env_fn, spec, seed=seed + 10007,
-                                              num_threads=num_threads),
+                                              num_threads=num_threads,
+                                              num_procs=num_procs),
                   host_pool=pool)
 
 
@@ -251,6 +252,17 @@ def make_params_fetcher(explore_view, explore_merge, example_state,
         return fetch
     except Exception:  # non-ravelable state: per-leaf transfer fallback
         return lambda agent_state: jax.device_put(agent_state, cpu_device)
+
+
+def make_explore_env_fn(agent):
+    """ONE jitted fn ``(params, obs, key) -> (raw_action, logprob|None,
+    env_action)`` — the contract ``host_collect_rollout`` consumes.  Fusing
+    explore + action-convert into a single dispatch measurably lowers
+    per-step latency vs two jitted calls."""
+    def _fn(params, obs, key):
+        action, logprob = agent.explore_action(params, obs, key)
+        return action, logprob, agent.env_action(action)
+    return jax.jit(_fn)
 
 
 def host_collect_rollout(pool: _HostPool, explore_env_jit,

@@ -306,12 +306,10 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
     t_start = time.time()
     if_train = True
     if use_host_rollout:
-        from ..envs.host_env import host_collect_rollout
+        from ..envs.host_env import host_collect_rollout, make_explore_env_fn
         # one jitted explore+convert per step on the CPU backend (measured
         # fastest — docs/performance.md "Host-rollout loop anatomy")
-        explore_env_jit = jax.jit(lambda p, o, k: (
-            lambda a_lp: (a_lp[0], a_lp[1], agent.env_action(a_lp[0]))
-        )(agent.explore_action(p, o, k)))
+        explore_env_jit = make_explore_env_fn(agent)
         horizon_len = int(args.horizon_len)
         reward_scale = float(args.reward_scale)
 

@@ -59,7 +59,7 @@ def demo_offpolicy_h_term(agent_class=AgentDDPGHterm, num_envs: int = 1024,
 
 
 if __name__ == '__main__':
-    which = sys.argv[1] if len(sys.argv) > 1 else 'ddpg_h'
+    which = next((a for a in sys.argv[1:] if a in AGENTS), 'ddpg_h')
     quick = 'quick' in sys.argv
     demo_offpolicy_h_term(AGENTS[which],
                           num_envs=16 if quick else 1024,

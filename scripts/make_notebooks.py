@@ -33,17 +33,33 @@ NOTEBOOKS = {
     'tutorial_Creating_VecEnv.py': ('tutorial_Creating_VecEnv.ipynb', []),
 }
 
-_PATH_SHIM = ("sys.path.insert(0, os.path.join(os.path.dirname("
-              "os.path.abspath(__file__)),\n"
-              "                                os.pardir))")
-
-
 def script_to_notebook(script_path: str, argv_extra) -> nbformat.NotebookNode:
     src = open(script_path).read()
     m = re.match(r'\s*("""|\'\'\')(.*?)\1\s*', src, re.S)
     doc, body = (m.group(2), src[m.end():]) if m else ('', src)
-    # notebooks live at the repo root: import the package from CWD
-    body = body.replace(_PATH_SHIM, "sys.path.insert(0, os.getcwd())")
+    # notebooks live at the repo root: import the package from CWD.  The
+    # scripts locate the repo via __file__, which notebooks don't have —
+    # rewrite ANY sys.path.insert(...) call that mentions __file__
+    # (balanced-paren scan tolerates nesting and reflowed lines).
+    i = body.find('sys.path.insert')
+    while i != -1:
+        k = body.index('(', i)
+        depth = 0
+        while True:
+            if body[k] == '(':
+                depth += 1
+            elif body[k] == ')':
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if '__file__' in body[i:k + 1]:
+            body = body[:i] + 'sys.path.insert(0, os.getcwd())' + body[k + 1:]
+        i = body.find('sys.path.insert', i + 1)
+    if '__file__' in body:
+        raise RuntimeError(
+            f"{script_path}: __file__ survives the shim rewrite — the "
+            f"notebook would fail with NameError inside nbclient")
     name = os.path.basename(script_path)
     nb = nbformat.v4.new_notebook()
     nb.cells = [

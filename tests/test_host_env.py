@@ -66,7 +66,8 @@ def test_host_pool_threaded_matches_sequential():
 def test_host_collect_rollout_matches_contract():
     """Host-side rollout collection: shapes/dtypes match Rollout, rewards are
     scaled, and the CPU-backend inference consumes the agent's params."""
-    from elegantrl_tpu.envs.host_env import host_collect_rollout
+    from elegantrl_tpu.envs.host_env import (host_collect_rollout,
+                                             make_explore_env_fn)
     env = _pendulum_def()
     args = Config(AgentPPO, env,
                   {'env_name': 'Pendulum-v1', 'num_envs': 4, 'max_step': 200,
@@ -75,10 +76,7 @@ def test_host_collect_rollout_matches_contract():
     args.horizon_len = 8
     ctx = build_training(args)
     cpu = jax.devices('cpu')[0]
-    agent = ctx.agent
-    explore_env_jit = jax.jit(lambda p, o, k: (
-        lambda a_lp: (a_lp[0], a_lp[1], agent.env_action(a_lp[0]))
-    )(agent.explore_action(p, o, k)))
+    explore_env_jit = make_explore_env_fn(ctx.agent)
     params_cpu = jax.device_put(ctx.carry.agent_state, cpu)
     obs0 = np.asarray(ctx.carry.obs)
     with jax.default_device(cpu):

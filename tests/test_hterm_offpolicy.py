@@ -106,3 +106,29 @@ def test_ddpg_hterm_learns_pendulum():
     # plain DDPG with this exact config reaches ~-180 by 2e5 steps (and
     # -726 at 5e4); the H-term must stay in that band, not destabilize
     assert r['max_r'] > -350.0, r['max_r']
+
+
+def test_rehearsal_sample_empty_ring_yields_zero_weights():
+    """Sampling before any harvest must give zero weights, not NaN
+    (the valid-slot contract)."""
+    from elegantrl_tpu.agents.hterm import rehearsal_sample
+    h_buf = init_hterm_buffer(8, 4, state_dim=2, action_dim=1)
+    _, _, _, w, valid = rehearsal_sample(h_buf, jax.random.key(0), 5)
+    assert np.all(np.asarray(valid) == 0.0)
+    assert np.all(np.asarray(w) == 0.0)  # not NaN
+
+
+def test_insert_best_windows_topk_when_envs_exceed_capacity():
+    """num_envs > ring capacity keeps the top-K windows deterministically."""
+    h_buf = init_hterm_buffer(4, 2, state_dim=1, action_dim=1)
+    H, N = 3, 6
+    states = jnp.zeros((H, N, 1))
+    actions = jnp.zeros((H, N, 1))
+    undones = jnp.ones((H, N))
+    unmasks = jnp.ones((H, N))
+    q = jnp.array([[1.0, 9.0, 3.0, 7.0, 5.0, 8.0],
+                   [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]])
+    out = insert_best_windows(h_buf, states, actions, undones, unmasks, q, 2)
+    assert int(out.count) == 4
+    np.testing.assert_allclose(sorted(np.asarray(out.returns).tolist(),
+                                      reverse=True)[:4], [9.0, 8.0, 7.0, 5.0])
