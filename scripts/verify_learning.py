@@ -19,7 +19,7 @@ from elegantrl_tpu.agents import (
     AgentPPO, AgentA2C, AgentDiscretePPO, AgentDiscreteA2C, AgentDQN,
     AgentDoubleDQN, AgentDuelingDQN, AgentD3QN, AgentEmbedDQN,
     AgentEnsembleDQN, AgentDDPG, AgentTD3, AgentSAC, AgentModSAC,
-    AgentPPOHterm, AgentDDPGHterm,
+    AgentPPOHterm, AgentDDPGHterm, AgentSACHterm,
 )
 from elegantrl_tpu.envs import (
     PendulumEnv, CartPoleEnv, HopperEnv, LunarLanderContinuousEnv,
@@ -200,6 +200,17 @@ CONFIGS = {
                         buffer_size=int(4e3), batch_size=1024,
                         repeat_times=4.0, learning_rate=3e-4,
                         eval_per_step=int(4e5), break_step=int(6e6))),
+    # stochastic-policy off-policy H-term at scale (agents/hterm.py)
+    'sach_hopper': (AgentSACHterm,
+                    {'env_class': HopperEnv,
+                     'env_args': {'env_name': 'HopperSlip-v0',
+                                  'num_envs': 1024, 'max_step': 1000,
+                                  'state_dim': 6, 'action_dim': 2,
+                                  'if_discrete': False}}, 1000,
+                    dict(net_dims=(128, 128), gamma=0.99, horizon_len=32,
+                         buffer_size=int(4e3), batch_size=1024,
+                         repeat_times=4.0, learning_rate=3e-4,
+                         eval_per_step=int(4e5), break_step=int(6e6))),
     'ddpg_hopper': (AgentDDPG,
                     {'env_class': HopperEnv,
                      'env_args': {'env_name': 'HopperSlip-v0',
