@@ -116,6 +116,14 @@ CONFIGS = {
                              repeat_times=512, learning_rate=1e-3,
                              batch_size=4096, eval_per_step=int(2e6),
                              break_step=int(3e7))),
+    # bf16 compute path (matmuls in bfloat16, params/grads fp32): learning
+    # parity with the fp32 row on the same recipe
+    'ppo_pendulum_bf16': (AgentPPO, pendulum_args(AgentPPO, 4096), -120,
+                          dict(net_dims=(128, 64), gamma=0.97, horizon_len=128,
+                               repeat_times=512, learning_rate=1e-3,
+                               batch_size=4096, eval_per_step=int(2e6),
+                               break_step=int(3e7),
+                               compute_dtype='bfloat16')),
     'ppo_lunarlander_cont': (AgentPPO,
                              {'env_class': LunarLanderContinuousEnv,
                               'env_args': {'env_name': 'LunarLanderContinuous-v2',
@@ -396,6 +404,34 @@ def _run_ppoh_hopper_mujoco_host():
     return float(r['max_r']), int(r['total_step'])
 
 
+def _run_sac_hopper_mujoco_host():
+    """Plain SAC on REAL MuJoCo Hopper through host-rollout mode — the
+    off-policy counterpart of the ppoh row (no reference baseline exists;
+    its MuJoCo entries are stale scripts).  1 update per 16 env-steps via
+    repeat_times (64 parallel envs need a higher update-to-data ratio than
+    the formula's default gives)."""
+    from elegantrl_tpu.agents import AgentSAC
+    from elegantrl_tpu.envs.gym_parity import gym_env_def, get_env_args
+    from elegantrl_tpu.train.runner import train_agent
+    env = gym_env_def('Hopper-v5', num_threads=16)
+    args = Config(AgentSAC, env, get_env_args(env, num_envs=64))
+    args.net_dims = (256, 256)
+    args.gamma = 0.99
+    args.horizon_len = 32            # 2048 env-steps per round
+    args.repeat_times = 2048         # -> 128 SGD updates per round
+    args.learning_rate = 3e-4
+    args.batch_size = 512
+    args.buffer_size = int(1e6)
+    args.reward_scale = 2 ** -2
+    args.eval_per_step = int(5e4)
+    args.eval_times = 4
+    args.break_step = int(2e6)
+    args.break_score = 2500.0
+    args.cwd = '/tmp/verify_sac_hopper_mujoco'
+    r = train_agent(args)
+    return float(r['max_r']), int(r['total_step'])
+
+
 SPECIALS = {
     'mappo_chasing': (lambda: _marl_row('mappo_chasing', _run_mappo, -1.0)),
     'maddpg_chasing': (lambda: _marl_row('maddpg_chasing', _run_maddpg, -1.0)),
@@ -410,6 +446,9 @@ SPECIALS = {
         'LunarLanderContinuous-v3 (real Box2D)')),
     'ppoh_hopper_mujoco_host': (lambda: _marl_row(
         'ppoh_hopper_mujoco_host', _run_ppoh_hopper_mujoco_host, 1000.0,
+        'Hopper-v5 (real MuJoCo)')),
+    'sac_hopper_mujoco_host': (lambda: _marl_row(
+        'sac_hopper_mujoco_host', _run_sac_hopper_mujoco_host, 1000.0,
         'Hopper-v5 (real MuJoCo)')),
 }
 
