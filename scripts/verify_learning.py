@@ -421,12 +421,16 @@ def _run_sac_hopper_mujoco_host():
     args.repeat_times = 2048         # -> 128 SGD updates per round
     args.learning_rate = 3e-4
     args.batch_size = 512
-    args.buffer_size = int(1e6)
+    # buffer rows are PER SEQ (num_envs=64 seqs): 32k rows = 2M transitions,
+    # the whole run's data (1e6 rows x 64 OOMs the 16GB chip)
+    args.buffer_size = int(3.2e4)
     args.reward_scale = 2 ** -2
     args.eval_per_step = int(5e4)
     args.eval_times = 4
-    args.break_step = int(2e6)
-    args.break_score = 2500.0
+    args.break_step = int(1.2e6)
+    args.break_score = 1500.0       # well past the row target; keeps the
+    #                                 tunnel exposure short (a mid-run relay
+    #                                 wedge killed a longer first attempt)
     args.cwd = '/tmp/verify_sac_hopper_mujoco'
     r = train_agent(args)
     return float(r['max_r']), int(r['total_step'])
