@@ -404,8 +404,8 @@ def _run_ppoh_hopper_mujoco_host():
     return float(r['max_r']), int(r['total_step'])
 
 
-def _run_sac_hopper_mujoco_host():
-    """Plain SAC on REAL MuJoCo Hopper through host-rollout mode — the
+def _run_sac_mujoco_host(env_id: str, break_score: float, break_step: int):
+    """Plain SAC on a REAL MuJoCo task through host-rollout mode — the
     off-policy counterpart of the ppoh row (no reference baseline exists;
     its MuJoCo entries are stale scripts).  1 update per 16 env-steps via
     repeat_times (64 parallel envs need a higher update-to-data ratio than
@@ -413,7 +413,7 @@ def _run_sac_hopper_mujoco_host():
     from elegantrl_tpu.agents import AgentSAC
     from elegantrl_tpu.envs.gym_parity import gym_env_def, get_env_args
     from elegantrl_tpu.train.runner import train_agent
-    env = gym_env_def('Hopper-v5', num_threads=16)
+    env = gym_env_def(env_id, num_threads=16)
     args = Config(AgentSAC, env, get_env_args(env, num_envs=64))
     args.net_dims = (256, 256)
     args.gamma = 0.99
@@ -427,13 +427,21 @@ def _run_sac_hopper_mujoco_host():
     args.reward_scale = 2 ** -2
     args.eval_per_step = int(5e4)
     args.eval_times = 4
-    args.break_step = int(1.2e6)
-    args.break_score = 1500.0       # well past the row target; keeps the
+    args.break_step = break_step
+    args.break_score = break_score  # well past the row target; keeps the
     #                                 tunnel exposure short (a mid-run relay
     #                                 wedge killed a longer first attempt)
-    args.cwd = '/tmp/verify_sac_hopper_mujoco'
+    args.cwd = f'/tmp/verify_sac_{env_id.split("-")[0].lower()}_mujoco'
     r = train_agent(args)
     return float(r['max_r']), int(r['total_step'])
+
+
+def _run_sac_hopper_mujoco_host():
+    return _run_sac_mujoco_host('Hopper-v5', 1500.0, int(1.2e6))
+
+
+def _run_sac_halfcheetah_mujoco_host():
+    return _run_sac_mujoco_host('HalfCheetah-v5', 4000.0, int(1.2e6))
 
 
 SPECIALS = {
@@ -454,6 +462,9 @@ SPECIALS = {
     'sac_hopper_mujoco_host': (lambda: _marl_row(
         'sac_hopper_mujoco_host', _run_sac_hopper_mujoco_host, 1000.0,
         'Hopper-v5 (real MuJoCo)')),
+    'sac_halfcheetah_mujoco_host': (lambda: _marl_row(
+        'sac_halfcheetah_mujoco_host', _run_sac_halfcheetah_mujoco_host,
+        2000.0, 'HalfCheetah-v5 (real MuJoCo)')),
 }
 
 ROWS_PATH = '/tmp/verify_rows.jsonl'
