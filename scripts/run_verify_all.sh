@@ -24,6 +24,7 @@ timeout 1800 python -u scripts/verify_learning.py --only modsac_lander_host
 timeout 1800 python -u scripts/verify_learning.py --only ppoh_hopper_mujoco_host
 timeout 1800 python -u scripts/verify_learning.py --only sac_hopper_mujoco_host
 timeout 1800 python -u scripts/verify_learning.py --only sac_halfcheetah_mujoco_host
+timeout 1800 python -u scripts/verify_learning.py --only sac_ant_mujoco_host
 
 echo "=== phase 4: straggler retries ===" >&2
 MISSING=$(python - <<'EOF'

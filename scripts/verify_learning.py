@@ -444,6 +444,12 @@ def _run_sac_halfcheetah_mujoco_host():
     return _run_sac_mujoco_host('HalfCheetah-v5', 4000.0, int(1.2e6))
 
 
+def _run_sac_ant_mujoco_host():
+    # the reference's README claims Ant/Humanoid superiority vs RLlib with
+    # figures only (README.md:136-147); here it's a recorded run
+    return _run_sac_mujoco_host('Ant-v5', 2500.0, int(8e5))
+
+
 SPECIALS = {
     'mappo_chasing': (lambda: _marl_row('mappo_chasing', _run_mappo, -1.0)),
     'maddpg_chasing': (lambda: _marl_row('maddpg_chasing', _run_maddpg, -1.0)),
@@ -465,6 +471,9 @@ SPECIALS = {
     'sac_halfcheetah_mujoco_host': (lambda: _marl_row(
         'sac_halfcheetah_mujoco_host', _run_sac_halfcheetah_mujoco_host,
         2000.0, 'HalfCheetah-v5 (real MuJoCo)')),
+    'sac_ant_mujoco_host': (lambda: _marl_row(
+        'sac_ant_mujoco_host', _run_sac_ant_mujoco_host,
+        2000.0, 'Ant-v5 (real MuJoCo)')),
 }
 
 ROWS_PATH = '/tmp/verify_rows.jsonl'
