@@ -25,4 +25,5 @@ from .train.runner import (  # noqa: F401
     train_agent, train_agent_single_process, train_agent_multiprocessing,
     train_agent_multiprocessing_multi_gpu, valid_agent, render_agent,
 )
+from .serve import PolicyServer  # noqa: F401
 from . import agents, envs, ops, parallel, rlsolver, train, utils  # noqa: F401
