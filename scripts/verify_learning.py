@@ -450,6 +450,10 @@ def _run_sac_ant_mujoco_host():
     return _run_sac_mujoco_host('Ant-v5', 2500.0, int(8e5))
 
 
+def _run_sac_walker_mujoco_host():
+    return _run_sac_mujoco_host('Walker2d-v5', 2500.0, int(1.2e6))
+
+
 SPECIALS = {
     'mappo_chasing': (lambda: _marl_row('mappo_chasing', _run_mappo, -1.0)),
     'maddpg_chasing': (lambda: _marl_row('maddpg_chasing', _run_maddpg, -1.0)),
@@ -474,6 +478,9 @@ SPECIALS = {
     'sac_ant_mujoco_host': (lambda: _marl_row(
         'sac_ant_mujoco_host', _run_sac_ant_mujoco_host,
         2000.0, 'Ant-v5 (real MuJoCo)')),
+    'sac_walker_mujoco_host': (lambda: _marl_row(
+        'sac_walker_mujoco_host', _run_sac_walker_mujoco_host,
+        1500.0, 'Walker2d-v5 (real MuJoCo)')),
 }
 
 ROWS_PATH = '/tmp/verify_rows.jsonl'
