@@ -19,11 +19,11 @@ from elegantrl_tpu.agents import (
     AgentPPO, AgentA2C, AgentDiscretePPO, AgentDiscreteA2C, AgentDQN,
     AgentDoubleDQN, AgentDuelingDQN, AgentD3QN, AgentEmbedDQN,
     AgentEnsembleDQN, AgentDDPG, AgentTD3, AgentSAC, AgentModSAC,
-    AgentPPOHterm, AgentDDPGHterm, AgentSACHterm,
+    AgentPPOHterm, AgentDDPGHterm, AgentSACHterm, AgentPixelPPO,
 )
 from elegantrl_tpu.envs import (
     PendulumEnv, CartPoleEnv, HopperEnv, LunarLanderContinuousEnv,
-    LunarLanderEnv, PointChasingVecEnv, StockTradingVecEnv,
+    LunarLanderEnv, PixelChasingEnv, PointChasingVecEnv, StockTradingVecEnv,
 )
 from elegantrl_tpu.train.runner import train_agent
 from elegantrl_tpu.utils.compile_cache import enable_compilation_cache
@@ -142,6 +142,22 @@ CONFIGS = {
                   dict(net_dims=(128, 128), gamma=0.99, horizon_len=128,
                        repeat_times=8, learning_rate=2e-4, batch_size=512,
                        eval_per_step=int(4e5), break_step=int(2e6))),
+    # pixel path on real TPU: ConvNet encoder + PPO heads on the rendered
+    # chasing env (the CPU e2e test proves gradients flow; this records a
+    # solved-level score).  Solved ~= +5..7 (closes the initial 8-unit gap
+    # minus action costs); random drifts near 0.
+    'pixelppo_chasing': (AgentPixelPPO,
+                         {'env_class': PixelChasingEnv,
+                          'env_args': {'env_name': 'PixelChasing-v0',
+                                       'num_envs': 128, 'max_step': 200,
+                                       'state_dim': (64, 64, 2),
+                                       'action_dim': 2,
+                                       'if_discrete': False}}, 2.0,
+                         dict(net_dims=(128,), encoder_dim=128, gamma=0.97,
+                              horizon_len=64, repeat_times=256,
+                              learning_rate=3e-4, batch_size=512,
+                              eval_per_step=int(2e5), break_step=int(4e6),
+                              break_score=5.0)),
     # ---- round-2 additions (VERDICT r1 missing #5) ----
     'duelingdqn_cartpole': (AgentDuelingDQN, cartpole_args(AgentDuelingDQN),
                             300, DQN_CART),
@@ -454,6 +470,12 @@ def _run_sac_walker_mujoco_host():
     return _run_sac_mujoco_host('Walker2d-v5', 2500.0, int(1.2e6))
 
 
+def _run_sac_humanoid_mujoco_host():
+    # completes the reference README's Ant/Humanoid-vs-RLlib pair
+    # (README.md:136-147, figures only there) with a recorded run
+    return _run_sac_mujoco_host('Humanoid-v5', 3000.0, int(8e5))
+
+
 SPECIALS = {
     'mappo_chasing': (lambda: _marl_row('mappo_chasing', _run_mappo, -1.0)),
     'maddpg_chasing': (lambda: _marl_row('maddpg_chasing', _run_maddpg, -1.0)),
@@ -481,6 +503,9 @@ SPECIALS = {
     'sac_walker_mujoco_host': (lambda: _marl_row(
         'sac_walker_mujoco_host', _run_sac_walker_mujoco_host,
         1500.0, 'Walker2d-v5 (real MuJoCo)')),
+    'sac_humanoid_mujoco_host': (lambda: _marl_row(
+        'sac_humanoid_mujoco_host', _run_sac_humanoid_mujoco_host,
+        1500.0, 'Humanoid-v5 (real MuJoCo)')),
 }
 
 ROWS_PATH = '/tmp/verify_rows.jsonl'
