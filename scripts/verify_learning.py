@@ -156,8 +156,8 @@ CONFIGS = {
                          dict(net_dims=(128,), encoder_dim=128, gamma=0.97,
                               horizon_len=64, repeat_times=256,
                               learning_rate=3e-4, batch_size=512,
-                              eval_per_step=int(2e5), break_step=int(4e6),
-                              break_score=5.0)),
+                              eval_per_step=int(2e5), break_step=int(1.6e7),
+                              break_score=3.0)),
     # ---- round-2 additions (VERDICT r1 missing #5) ----
     'duelingdqn_cartpole': (AgentDuelingDQN, cartpole_args(AgentDuelingDQN),
                             300, DQN_CART),
@@ -361,6 +361,31 @@ def _run_population():
     return best, steps
 
 
+def _run_population_stock():
+    """finrl-podracer analog ON the trading task: generational evolution of
+    stock-trading PPO agents (the reference's FinRL-Podracer trains
+    NASDAQ-100 stock trading with 10 evolving agents on 16-80 A100s,
+    docs/source/tutorial/finrl-podracer.rst:48-72 — claims only, no code);
+    here 8 members × 256 envs train in ONE vmapped jit program."""
+    from elegantrl_tpu.parallel.population import train_agent_population
+    args = Config(AgentPPO, StockTradingVecEnv,
+                  {'env_name': 'StockTradingEnv-v2', 'num_envs': 256,
+                   'max_step': 1112, 'state_dim': 151, 'action_dim': 15,
+                   'if_discrete': False})
+    args.net_dims = (128, 128)
+    args.gamma = 0.99
+    args.horizon_len = 128
+    args.repeat_times = 8
+    args.learning_rate = 2e-4
+    args.batch_size = 512
+    args.cwd = '/tmp/verify_population_stock'
+    r = train_agent_population(args, population_size=8, generations=6,
+                               rounds_per_generation=8, verbose=True)
+    best = float(np.max(r['history'][-1]))
+    steps = 8 * 6 * 8 * 128 * 256
+    return best, steps
+
+
 def _run_modsac_lander_host():
     """ModSAC on REAL Box2D LunarLanderContinuous via the host-env path —
     the reference's 1147 s baseline (demo_DDPG_TD3_SAC.py:173).  The env
@@ -485,6 +510,9 @@ SPECIALS = {
         'vdn_chasing', lambda: _run_qmix('vdn'), -2.0)),
     'population_ppo': (lambda: _marl_row(
         'population_ppo', _run_population, -200.0, 'Pendulum-v1')),
+    'population_stock': (lambda: _marl_row(
+        'population_stock', _run_population_stock, 100.0,
+        'StockTradingEnv-v2')),
     'modsac_lander_host': (lambda: _marl_row(
         'modsac_lander_host', _run_modsac_lander_host, 150.0,
         'LunarLanderContinuous-v3 (real Box2D)')),
