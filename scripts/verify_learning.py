@@ -144,20 +144,23 @@ CONFIGS = {
                        eval_per_step=int(4e5), break_step=int(2e6))),
     # pixel path on real TPU: ConvNet encoder + PPO heads on the rendered
     # chasing env (the CPU e2e test proves gradients flow; this records a
-    # solved-level score).  Solved ~= +5..7 (closes the initial 8-unit gap
-    # minus action costs); random drifts near 0.
+    # solved-level score).  Task ceiling at 200-step episodes: a SCRIPTED
+    # state-access beeline/PD controller scores 1.095 (the env charges
+    # 0.02/step unconditionally and the target drifts away at up to
+    # 0.02/step, so returns are cost-dominated); target 0.9 = 82% of the
+    # scripted optimum, from pixels alone.
     'pixelppo_chasing': (AgentPixelPPO,
                          {'env_class': PixelChasingEnv,
                           'env_args': {'env_name': 'PixelChasing-v0',
                                        'num_envs': 128, 'max_step': 200,
                                        'state_dim': (64, 64, 2),
                                        'action_dim': 2,
-                                       'if_discrete': False}}, 2.0,
+                                       'if_discrete': False}}, 0.9,
                          dict(net_dims=(128,), encoder_dim=128, gamma=0.97,
                               horizon_len=64, repeat_times=256,
                               learning_rate=3e-4, batch_size=512,
-                              eval_per_step=int(2e5), break_step=int(1.6e7),
-                              break_score=3.0)),
+                              eval_per_step=int(2e5), break_step=int(6e6),
+                              break_score=1.02)),
     # ---- round-2 additions (VERDICT r1 missing #5) ----
     'duelingdqn_cartpole': (AgentDuelingDQN, cartpole_args(AgentDuelingDQN),
                             300, DQN_CART),

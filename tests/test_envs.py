@@ -199,3 +199,30 @@ def test_lunar_lander_hard_impact_is_crash_not_landing():
             break
     assert bool(np.asarray(term).all())
     assert np.asarray(r).max() < -50.0
+
+
+def test_point_chasing_scripted_ceiling():
+    """Pin the chasing task's return scale: a scripted state-access beeline
+    controller (the practical optimum — the env charges 0.02/step
+    unconditionally and the target drifts away at up to 0.02/step) scores
+    ~1.10 on 200-step episodes and ~2.0 with room to catch (1024 steps).
+    The pixel row's 0.9 target in scripts/verify_learning.py derives from
+    this ceiling."""
+    import jax.numpy as jnp
+    from elegantrl_tpu.envs.point_chasing import make_point_chasing
+    from elegantrl_tpu.train.evaluator import make_eval_fn
+
+    env = make_point_chasing(2)
+
+    def beeline(_, obs):
+        delta = obs[:, 0:2] - obs[:, 4:6]          # p0 - p1
+        return delta / (jnp.linalg.norm(delta, axis=1, keepdims=True) + 1e-8)
+
+    fn200 = make_eval_fn(env, beeline, num_episodes=16, max_step=200)
+    ret200, steps200 = (np.asarray(x) for x in fn200(None, jax.random.key(0)))
+    assert 0.9 < ret200.mean() < 1.4, ret200.mean()
+
+    fn1k = make_eval_fn(env, beeline, num_episodes=16, max_step=1024)
+    ret1k, steps1k = (np.asarray(x) for x in fn1k(None, jax.random.key(0)))
+    assert steps1k.mean() < 600, steps1k.mean()    # actually catches
+    assert ret1k.mean() > 1.6, ret1k.mean()
