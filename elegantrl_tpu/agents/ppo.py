@@ -34,7 +34,7 @@ from ..ops.nets import mlp_apply, mlp_init
 from .hterm import (HtermBuffer, init_hterm_buffer, insert_best_windows,
                     rehearsal_sample, return_bounds)
 from .base import (AgentDef, Rollout, chunked_map, grad_step, make_optimizer,
-                   sample_flat_ids)
+                   resolve_compute_dtype, sample_flat_ids)
 
 
 class PPOState(NamedTuple):
@@ -86,7 +86,7 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
     state_value_tau = float(getattr(args, 'state_value_tau', 0.0))
     batch_size = int(getattr(args, 'batch_size', 128))
     repeat_times = float(getattr(args, 'repeat_times', 8.0))
-    compute_dtype = jnp.bfloat16 if str(getattr(args, 'compute_dtype', 'float32')) == 'bfloat16' else None
+    compute_dtype = resolve_compute_dtype(args, net_dims)
     # H-term hypers: names/defaults per the reference's surviving entry script
     # (examples/plan_PPO_H.py:53-57).
     h_term_lambda = float(getattr(args, 'h_term_lambda', 2 ** -3))
@@ -160,7 +160,14 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
 
         '''advantages (no-grad), reference AgentPPO.py:138-151'''
         value_fn = partial(critic_value, s.cri, s.norm_avg, s.norm_std)
-        values = chunked_map(value_fn, states)              # (H, N)
+        if rollout.extras is not None and 'values' in rollout.extras:
+            # computed per step inside the collect scan while obs was hot —
+            # skips re-reading the whole (H, N, S) rollout from HBM.  The
+            # critic/norm params don't change during collection, so this is
+            # the same function of the same inputs as the re-eval below.
+            values = rollout.extras['values']               # (H, N)
+        else:  # host-collected rollouts carry no extras
+            values = chunked_map(value_fn, states)          # (H, N)
         rewards_b, undones_b = gae.apply_truncation_bootstrap(
             rewards, undones, unmasks, values)
         next_value = value_fn(last_obs)                      # (N,)
@@ -270,7 +277,7 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
         '''running state normalization (AgentPPO.py:234-249; active iff tau>0)'''
         norm_avg, norm_std = s.norm_avg, s.norm_std
         if state_value_tau > 0:
-            flat = states.reshape(-1, states.shape[-1])
+            flat = states.reshape(-1, states.shape[-1]).astype(jnp.float32)
             tau = state_value_tau
             norm_avg = norm_avg * (1 - tau) + jnp.mean(flat, axis=0) * tau
             norm_std = jnp.maximum(
@@ -287,6 +294,13 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
                                  norm_avg, norm_std)
         return new_state, metrics
 
+    def rollout_values(s: PPOState, obs):
+        """Per-step critic values, evaluated inside the collect scan (the
+        critic is frozen during collection, so these equal the update-time
+        re-eval the reference performs over the whole rollout,
+        AgentPPO.py:141-143 — minus one full-rollout HBM read)."""
+        return {'values': critic_value(s.cri, s.norm_avg, s.norm_std, obs)}
+
     name = ('AgentDiscreteA2C' if (discrete and a2c) else
             'AgentDiscretePPO' if discrete else
             'AgentA2C' if a2c else
@@ -297,7 +311,8 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
                     update=update,
                     explore_view=lambda s: (s.act, s.norm_avg, s.norm_std),
                     explore_merge=lambda f, v: f._replace(
-                        act=v[0], norm_avg=v[1], norm_std=v[2]))
+                        act=v[0], norm_avg=v[1], norm_std=v[2]),
+                    rollout_extras=rollout_values)
 
 
 # Class-style markers for Config(agent_class=...) parity with the reference.

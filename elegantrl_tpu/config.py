@@ -80,7 +80,18 @@ class Config:
         self.num_workers = 1         # kept for API parity; rollout is fused on-device
         self.random_seed = None      # None -> derived from gpu_id like the reference
         self.mesh_axes = None        # e.g. {'dp': 8} to shard the env axis; None = single device
-        self.compute_dtype = 'float32'  # 'bfloat16' to run matmuls in bf16 on the MXU
+        # matmul dtype: 'auto' picks bf16 when every hidden width is MXU-wide
+        # (measured crossover, agents/base.py:resolve_compute_dtype) and f32
+        # otherwise; force with 'float32' / 'bfloat16'
+        self.compute_dtype = 'auto'
+        # rollout/replay-ring bulk-tensor dtype ('float32' | 'bfloat16'):
+        # bf16 halves HBM traffic + ring residency for states (and, for
+        # off-policy agents, float actions); scalars always stay f32
+        self.storage_dtype = 'float32'
+        # rollout-scan unroll factor: amortises per-op launch latency over
+        # the scan's tiny ops (the fused round is op-latency-bound at small
+        # widths — scripts/profile_sol.py); numerics unchanged
+        self.rollout_unroll = 4
         # persistent XLA compilation cache: None -> default dir (or
         # $ELEGANTRL_TPU_CACHE_DIR); '' disables.  See utils/compile_cache.py
         self.compilation_cache_dir = None

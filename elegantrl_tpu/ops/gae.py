@@ -9,6 +9,9 @@ forced False; AgentPPO.py:211-214) and the backward cumulative-reward scan
 All functions take time-major arrays shaped ``(horizon_len, num_envs)`` and
 are pure: they compile into a single fused scan on TPU instead of the
 reference's Python ``for t in range(H-1, -1, -1)`` loop of kernel launches.
+The scans unroll 8 steps per loop iteration: the bodies are a handful of
+(N,)-elementwise ops, so unrolling amortises the TPU's per-op launch latency
+without changing the math (profiled in scripts/profile_sol.py).
 """
 
 from __future__ import annotations
@@ -55,7 +58,8 @@ def gae_vtrace(rewards: jax.Array, undones: jax.Array, values: jax.Array,
 
     (_, _), advantages = jax.lax.scan(
         body, (next_value, jnp.zeros_like(next_value)),
-        (rewards, masks, values), reverse=True)
+        (rewards, masks, values), reverse=True,
+        unroll=min(8, rewards.shape[0]))
     return advantages
 
 
@@ -77,7 +81,8 @@ def gae_plain(rewards: jax.Array, undones: jax.Array, values: jax.Array,
         return carry, adv
 
     _, advantages = jax.lax.scan(
-        body, jnp.zeros_like(values[0]), (rewards, masks, values), reverse=True)
+        body, jnp.zeros_like(values[0]), (rewards, masks, values),
+        reverse=True, unroll=min(8, rewards.shape[0]))
     return advantages
 
 
@@ -93,7 +98,8 @@ def cumulative_returns(rewards: jax.Array, undones: jax.Array,
         ret = r + m * next_ret
         return ret, ret
 
-    _, returns = jax.lax.scan(body, next_value, (rewards, masks), reverse=True)
+    _, returns = jax.lax.scan(body, next_value, (rewards, masks),
+                              reverse=True, unroll=min(8, rewards.shape[0]))
     return returns
 
 

@@ -52,6 +52,12 @@ class ReplayBuffer:
         self.num_seqs = int(num_seqs)
         self.if_discrete = bool(if_discrete)
         self.if_use_per = bool(if_use_per)
+        # bulk-tensor storage dtype: bf16 halves the ring's HBM residency and
+        # sample-gather traffic (states + float actions; scalars stay f32)
+        self.storage_dtype = (
+            jnp.bfloat16
+            if str(getattr(args, 'storage_dtype', 'float32')) == 'bfloat16'
+            else jnp.float32)
         self.per_alpha = float(getattr(args, 'per_alpha', 0.6))
         self.per_beta = float(getattr(args, 'per_beta', 0.4))
         self.if_use_cum_rewards = float(getattr(args, 'lambda_fit_cum_r', 0.0)) != 0.0
@@ -64,9 +70,9 @@ class ReplayBuffer:
     def init(self) -> BufferState:
         M, N, S = self.max_size, self.num_seqs, self.state_dim
         actions = (jnp.zeros((M, N), jnp.int32) if self.if_discrete
-                   else jnp.zeros((M, N, self.action_dim), jnp.float32))
+                   else jnp.zeros((M, N, self.action_dim), self.storage_dtype))
         return BufferState(
-            states=jnp.zeros((M, N, S), jnp.float32),
+            states=jnp.zeros((M, N, S), self.storage_dtype),
             actions=actions,
             rewards=jnp.zeros((M, N), jnp.float32),
             undones=jnp.zeros((M, N), jnp.float32),
@@ -170,7 +176,10 @@ class ReplayBuffer:
         resume; interior nodes are rebuilt on load) and ``cum_rewards``."""
         path = os.path.join(cwd, 'replay_buffer.npz')
         if if_save:
-            arrays = {k: np.asarray(v) for k, v in buf._asdict().items()
+            # widen bf16 storage to f32 for npz (lossless; re-cast on load)
+            arrays = {k: np.asarray(jnp.asarray(v, jnp.float32)
+                                    if v.dtype == jnp.bfloat16 else v)
+                      for k, v in buf._asdict().items()
                       if v is not None and k != 'per_tree'}
             if buf.per_tree is not None:
                 # persist only the (N, max_size) leaf slice; parents are a
@@ -183,7 +192,8 @@ class ReplayBuffer:
             d = np.load(path)
             print(f"| buffer.save_or_load_history(): Load {path}", flush=True)
             buf = buf._replace(
-                states=jnp.asarray(d['states']), actions=jnp.asarray(d['actions']),
+                states=jnp.asarray(d['states'], buf.states.dtype),
+                actions=jnp.asarray(d['actions'], buf.actions.dtype),
                 rewards=jnp.asarray(d['rewards']), undones=jnp.asarray(d['undones']),
                 unmasks=jnp.asarray(d['unmasks']),
                 ptr=jnp.asarray(d['ptr']), size=jnp.asarray(d['size']))

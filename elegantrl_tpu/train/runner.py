@@ -33,7 +33,7 @@ import numpy as np
 
 from ..config import Config
 from ..envs.base import EnvDef, vec_reset
-from ..agents.base import AgentDef, collect_rollout
+from ..agents.base import (AgentDef, collect_rollout, resolve_storage_dtype)
 from ..utils.checkpoint import save_pytree, load_pytree
 from .evaluator import Evaluator
 from .replay_buffer import ReplayBuffer
@@ -184,11 +184,16 @@ def build_training(args: Config, mesh=None) -> TrainContext:
                 rollout.actions.reshape(-1), length=int(args.action_dim))
         return TrainCarry(agent_state, buf_state, env_state, obs, key), metrics
 
+    store_dtype = resolve_storage_dtype(args)
+    rollout_unroll = int(getattr(args, 'rollout_unroll', 4))
+
     def round_fn(carry: TrainCarry, _):
         key, k_roll, k_upd = jax.random.split(carry.key, 3)
         rollout, env_state, obs = collect_rollout(
             env, carry.agent_state, agent.explore_action, agent.env_action,
-            carry.env_state, carry.obs, k_roll, horizon_len, reward_scale)
+            carry.env_state, carry.obs, k_roll, horizon_len, reward_scale,
+            extras_fn=agent.rollout_extras, store_dtype=store_dtype,
+            unroll=rollout_unroll)
         return _update_half(carry, rollout, env_state, obs, key, k_upd)
 
     def update_from_rollout(carry: TrainCarry, rollout, last_obs):

@@ -42,7 +42,15 @@ def save_pytree(path: str, tree: Any) -> None:
     # fetch all leaves in one device_get (async per-leaf copies, one wait)
     # instead of a blocking round-trip per leaf
     values = jax.device_get([v for _, v in keyed])
-    arrays = {k: np.asarray(v) for (k, _), v in zip(keyed, values)}
+    # bf16 (storage_dtype) leaves round-trip through npz as opaque void
+    # dtype; store them widened to f32 (lossless) — load_pytree re-casts to
+    # the template's dtype.
+    arrays = {}
+    for (k, _), v in zip(keyed, values):
+        a = np.asarray(v)
+        if a.dtype.kind == 'V' or str(a.dtype) == 'bfloat16':
+            a = a.astype(np.float32)
+        arrays[k] = a
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     np.savez_compressed(path, **arrays)
 

