@@ -80,6 +80,45 @@ def _make_agent(args: Config, buffer: Optional[ReplayBuffer]) -> AgentDef:
                 buffer=buffer)
 
 
+def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
+                          horizon_len: int, reward_scale: float,
+                          store_dtype, mesh):
+    """Auto-select the fused whole-rollout Pallas kernel
+    (``ops/pallas_rollout.py``) when the workload matches its scope:
+    continuous Gaussian-MLP PPO x Pendulum x 2 hidden layers x single chip
+    on a real TPU.  ``args.use_pallas_rollout``: 'auto' (default) | True |
+    False | 'interpret' (CPU tests).  Noise is drawn outside the kernel
+    with jax.random — deterministic given the key, same distributions as
+    (but a different stream than) the scan path."""
+    mode = getattr(args, 'use_pallas_rollout', 'auto')
+    if mode in (False, 'false', '0') or mesh is not None:
+        return None
+    interpret = (mode == 'interpret')
+    spec = env.spec
+    eligible = (spec.env_name == 'Pendulum-v1' and env.host_pool is None
+                and agent.name == 'AgentPPO' and not spec.if_discrete
+                and len(tuple(args.net_dims)) == 2)
+    if not eligible:
+        if mode is True:
+            raise ValueError(
+                'use_pallas_rollout=True requires continuous 2-hidden-layer '
+                f'MLP PPO on Pendulum-v1 (got agent={agent.name}, '
+                f'env={spec.env_name}, net_dims={args.net_dims})')
+        return None
+    block = next((b for b in (1024, 512, 256, 128, 64, 32, 16, 8)
+                  if num_envs % b == 0 and b <= num_envs), None)
+    if block is None:
+        return None
+    if not interpret and jax.devices()[0].platform != 'tpu':
+        return None   # Mosaic kernels need a real TPU (or the interpreter)
+    from ..ops.pallas_rollout import make_pendulum_ppo_rollout
+    print("| build_training: pallas fused-rollout fast path enabled "
+          f"(block={block})", flush=True)
+    return make_pendulum_ppo_rollout(
+        tuple(args.net_dims), horizon_len, num_envs, reward_scale,
+        store_dtype=store_dtype, block=block, interpret=interpret)
+
+
 class TrainContext(NamedTuple):
     env: EnvDef
     agent: AgentDef
@@ -186,14 +225,22 @@ def build_training(args: Config, mesh=None) -> TrainContext:
 
     store_dtype = resolve_storage_dtype(args)
     rollout_unroll = int(getattr(args, 'rollout_unroll', 4))
+    fast_rollout = _maybe_pallas_rollout(args, env, agent, num_envs,
+                                         horizon_len, reward_scale,
+                                         store_dtype, mesh)
 
     def round_fn(carry: TrainCarry, _):
         key, k_roll, k_upd = jax.random.split(carry.key, 3)
-        rollout, env_state, obs = collect_rollout(
-            env, carry.agent_state, agent.explore_action, agent.env_action,
-            carry.env_state, carry.obs, k_roll, horizon_len, reward_scale,
-            extras_fn=agent.rollout_extras, store_dtype=store_dtype,
-            unroll=rollout_unroll)
+        if fast_rollout is not None:
+            rollout, env_state, obs = fast_rollout(
+                carry.agent_state, carry.env_state, carry.obs, k_roll)
+        else:
+            rollout, env_state, obs = collect_rollout(
+                env, carry.agent_state, agent.explore_action,
+                agent.env_action, carry.env_state, carry.obs, k_roll,
+                horizon_len, reward_scale,
+                extras_fn=agent.rollout_extras, store_dtype=store_dtype,
+                unroll=rollout_unroll)
         return _update_half(carry, rollout, env_state, obs, key, k_upd)
 
     def update_from_rollout(carry: TrainCarry, rollout, last_obs):

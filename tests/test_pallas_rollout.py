@@ -1,0 +1,175 @@
+"""Exact-math parity tests for the fused whole-rollout Pallas kernel
+(``ops/pallas_rollout.py``) against the generic ``collect_rollout`` scan
+path, run on CPU via the TPU interpreter.
+
+The kernel samples from the TPU core PRNG — a different stream than
+``jax.random`` — so parity is checked *deterministically* by recomputing
+every stored quantity from the kernel's own stored states/actions with the
+reference-path pure functions: actor mean, logprob, critic value, reward,
+dynamics transition, truncation bookkeeping.  A separate statistical test
+checks the action noise is standard normal.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from elegantrl_tpu.agents.ppo import make_ppo, _norm_state
+from elegantrl_tpu.envs.pendulum import make_pendulum, PendulumState
+from elegantrl_tpu.ops.nets import mlp_apply
+from elegantrl_tpu.ops.dists import normal_logprob
+from elegantrl_tpu.ops.pallas_rollout import make_pendulum_ppo_rollout
+from elegantrl_tpu.config import Config
+
+
+NET_DIMS = (16, 16)
+H, N = 12, 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    args = Config()
+    args.net_dims = NET_DIMS
+    agent = make_ppo(NET_DIMS, 3, 1, args)
+    key = jax.random.PRNGKey(0)
+    s = agent.init(key)
+    # non-trivial state norm so the kernel's norm path is exercised
+    s = s._replace(norm_avg=jnp.array([0.1, -0.2, 0.3]),
+                   norm_std=jnp.array([0.9, 1.1, 2.0]))
+    env = make_pendulum()
+    keys = jax.random.split(jax.random.PRNGKey(7), N)
+    env_state = jax.vmap(env.init)(keys)
+    # stagger step counters so truncation fires mid-rollout for some envs
+    env_state = env_state._replace(
+        t=(jnp.arange(N) * 17 % 200).astype(jnp.int32))
+    obs = jax.vmap(env.obs)(env_state)
+    fast = make_pendulum_ppo_rollout(NET_DIMS, H, N, reward_scale=1.0,
+                                     block=8, interpret=True)
+    rollout, env_state2, obs2 = fast(s, env_state, obs,
+                                     jax.random.PRNGKey(3))
+    return s, env, env_state, obs, rollout, env_state2, obs2
+
+
+def test_shapes_and_first_state(setup):
+    s, env, env_state, obs, rollout, _, _ = setup
+    assert rollout.states.shape == (H, N, 3)
+    assert rollout.actions.shape == (H, N, 1)
+    assert rollout.logprobs.shape == (H, N)
+    assert rollout.extras['values'].shape == (H, N)
+    np.testing.assert_allclose(rollout.states[0], obs, rtol=1e-6)
+
+
+def test_logprob_value_parity(setup):
+    """Recompute logprob and value from stored (state, action) with the
+    scan-path pure functions — must match what the kernel stored."""
+    s, env, _, _, rollout, _, _ = setup
+    x = _norm_state(rollout.states.reshape(-1, 3), s.norm_avg, s.norm_std)
+    mean = mlp_apply(s.act['mlp'], x)
+    std = jnp.exp(s.act['std_log'])
+    lp = jnp.sum(normal_logprob(rollout.actions.reshape(-1, 1), mean, std),
+                 axis=-1)
+    np.testing.assert_allclose(lp.reshape(H, N), rollout.logprobs,
+                               rtol=2e-4, atol=2e-5)
+    v = mlp_apply(s.cri, x)[:, 0]
+    np.testing.assert_allclose(v.reshape(H, N), rollout.extras['values'],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_reward_dynamics_parity(setup):
+    """Stored rewards and the t->t+1 state transition must match the pure
+    env step applied to the kernel's stored states/actions."""
+    s, env, env_state, _, rollout, env_state2, obs2 = setup
+    costh = rollout.states[..., 0]
+    sinth = rollout.states[..., 1]
+    thdot = rollout.states[..., 2]
+    th = jnp.arctan2(sinth, costh)           # wrapped, fine for cos/sin math
+    u = jnp.clip(jnp.tanh(rollout.actions[..., 0]) * 2.0, -2.0, 2.0)
+    cost = th ** 2 + 0.1 * thdot ** 2 + 0.001 * u ** 2
+    np.testing.assert_allclose(rollout.rewards, -0.5 * cost,
+                               rtol=1e-4, atol=1e-5)
+    thdot2 = jnp.clip(thdot + (15.0 * sinth + 3.0 * u) * 0.05, -8.0, 8.0)
+    th2 = th + thdot2 * 0.05
+    trunc = 1.0 - rollout.unmasks            # (H, N)
+    # where NOT truncated, next stored obs must equal the deterministic step
+    nxt_cos, nxt_sin = jnp.cos(th2), jnp.sin(th2)
+    keep = (trunc[:-1] == 0.0)
+    np.testing.assert_allclose(
+        jnp.where(keep, rollout.states[1:, :, 0], 0.0),
+        jnp.where(keep, nxt_cos[:-1], 0.0), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        jnp.where(keep, rollout.states[1:, :, 2], 0.0),
+        jnp.where(keep, thdot2[:-1], 0.0), rtol=1e-4, atol=1e-4)
+    # final env_state continues the chain (last step not truncated)
+    last_keep = trunc[-1] == 0.0
+    np.testing.assert_allclose(
+        jnp.where(last_keep, jnp.cos(env_state2.theta), 0.0),
+        jnp.where(last_keep, nxt_cos[-1], 0.0), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        obs2, jnp.stack([jnp.cos(env_state2.theta),
+                         jnp.sin(env_state2.theta),
+                         env_state2.theta_dot], axis=-1), rtol=1e-6)
+
+
+def test_truncation_bookkeeping(setup):
+    """Truncation must fire exactly when the step counter hits 200, reset
+    state into the init ranges, and zero the counter."""
+    s, env, env_state, _, rollout, env_state2, _ = setup
+    t0 = np.asarray(env_state.t)
+    trunc = np.asarray(1.0 - rollout.unmasks)
+    for n in range(N):
+        t = t0[n]
+        for h in range(H):
+            t += 1
+            expect = float(t >= 200)
+            assert trunc[h, n] == expect, (h, n, t)
+            if t >= 200:
+                t = 0
+    # undones all ones (Pendulum never terminates)
+    assert np.all(np.asarray(rollout.undones) == 1.0)
+    # post-reset states in init ranges
+    reset_rows = np.argwhere(trunc[:-1] == 1.0)
+    for h, n in reset_rows:
+        thdot = float(rollout.states[h + 1, n, 2])
+        assert -1.0 <= thdot <= 1.0, (h, n, thdot)
+
+
+def test_noise_exact_parity(setup):
+    """The kernel's exploration noise is drawn OUTSIDE the kernel with
+    jax.random; z = (action - mean)/std must reproduce that draw exactly
+    (up to f32 roundoff), so the fast path is deterministic given the key
+    and the noise is threefry-quality by construction."""
+    s, env, _, _, rollout, _, _ = setup
+    kz, _ = jax.random.split(jax.random.PRNGKey(3))
+    z_expect = jax.random.normal(kz, (H, 1, N), jnp.float32)
+    x = _norm_state(rollout.states.reshape(-1, 3), s.norm_avg, s.norm_std)
+    mean = mlp_apply(s.act['mlp'], x).reshape(H, N, 1)
+    std = jnp.exp(s.act['std_log'])
+    z = (rollout.actions - mean) / std
+    np.testing.assert_allclose(np.asarray(z)[..., 0],
+                               np.asarray(z_expect)[:, 0, :],
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_runner_fast_path_trains(capsys):
+    """End-to-end: the runner with use_pallas_rollout='interpret' must run
+    rounds and produce finite improving metrics (CPU, tiny shapes)."""
+    from elegantrl_tpu.train.runner import build_training
+    from elegantrl_tpu.envs import PendulumEnv
+    from elegantrl_tpu.agents import AgentPPO
+
+    args = Config(agent_class=AgentPPO, env_class=PendulumEnv,
+                  env_args={'env_name': 'Pendulum-v1', 'num_envs': 16,
+                            'max_step': 200, 'state_dim': 3, 'action_dim': 1,
+                            'if_discrete': False})
+    args.horizon_len = 32
+    args.net_dims = (16, 16)
+    args.batch_size = 64
+    args.repeat_times = 2.0
+    args.use_pallas_rollout = 'interpret'
+    ctx = build_training(args)
+    assert 'pallas fused-rollout fast path enabled' in capsys.readouterr().out
+    carry, metrics = jax.jit(ctx.round_fn)(ctx.carry, None)
+    assert np.isfinite(float(metrics['obj_critic']))
+    assert np.isfinite(float(metrics['obj_actor']))
