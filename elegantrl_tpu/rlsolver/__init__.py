@@ -10,7 +10,7 @@ from .methods import (  # noqa: F401
 )
 from .mcpg import mcpg_solve  # noqa: F401
 from .mis import MISSimulator, VertexCoverSimulator, greedy_mis  # noqa: F401
-from .isco import isco_solve  # noqa: F401
+from .isco import isco_solve, isco_mis_solve, isco_tsp_solve  # noqa: F401
 from .s2v_dqn import make_s2v_dqn, s2v_dqn_solve  # noqa: F401
 from .eco_dqn import (build_pool, make_eco_dqn, eco_greedy_solve,  # noqa: F401
                       init_mpnn, mpnn_q)

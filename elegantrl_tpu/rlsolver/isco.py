@@ -59,3 +59,91 @@ def isco_solve(sim, key: jax.Array, num_sims: int = 1024,
     (xs, best_obj, best_x), _ = jax.lax.scan(
         body, init, (temps, jax.random.split(k_run, num_steps)))
     return best_obj, best_x
+
+
+def isco_mis_solve(sim, key: jax.Array, num_sims: int = 1024,
+                   num_steps: int = 256, **kw) -> Tuple[jax.Array, jax.Array]:
+    """iSCO on MIS (reference ``rlsolver/methods/iSCO/main_mis.py``,
+    ``rlsolver/envs/env_isco_mis.py``): the generic binary sampler over the
+    penalized-MIS flip gains, followed by a repair sweep so the returned set
+    is strictly independent.  Returns (set_size, x)."""
+    k_isco, k_rep = jax.random.split(key)
+    _, best_x = isco_solve(sim, k_isco, num_sims=num_sims,
+                           num_steps=num_steps, **kw)
+    xs = sim.local_search(best_x[None], k_rep, num_sweeps=8)
+    return jnp.sum(xs[0]), xs[0]
+
+
+def isco_tsp_solve(sim, key: jax.Array, num_sims: int = 256,
+                   num_steps: int = 512, t0: float = 0.5, t1: float = 0.01
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Permutation-space iSCO for TSP (reference
+    ``rlsolver/methods/iSCO/main_tsp.py:20-45``,
+    ``rlsolver/envs/env_isco_tsp.py:19-120``): locally-balanced 2-opt
+    proposals — the move distribution over ALL (i, j) segment reversals is
+    softmax(-delta_length / (2T)), sampled per chain, MH-accepted on the true
+    delta — annealed from ``t0`` to ``t1``.
+
+    TPU-native redesign: the reference walks K-nearest candidate lists with
+    gather-heavy per-node bookkeeping and a path-auxiliary correction over
+    Poisson-length move bundles; here the full n^2 delta table is computed as
+    four batched gathers from the distance matrix (static shapes, one
+    categorical over n^2 logits) and moves are single 2-opt steps with the
+    same simple near-reversibility MH rule the binary sampler uses (the
+    documented deviation shared by this module).  Returns (best_len, tour)."""
+    n = sim.num_cities
+    k_init, k_run = jax.random.split(key)
+    tours = sim.rand_tours(k_init, num_sims)
+    temps = t0 + (t1 - t0) * (jnp.arange(num_steps) / max(num_steps - 1, 1))
+    pos = jnp.arange(n)
+    # valid 2-opt pairs: 0 <= i < j < n, skipping the full-reversal i=0,j=n-1
+    valid = (pos[:, None] < pos[None, :])
+    valid = valid & ~((pos[:, None] == 0) & (pos[None, :] == n - 1))
+
+    def deltas(tours):
+        """delta(i, j) of reversing tour[i..j] (endpoints included):
+        d(a,c) + d(b,d) - d(a,b) - d(c,d) with a=t[i-1], b=t[i], c=t[j],
+        d=t[j+1] (cyclic)."""
+        prv = jnp.roll(tours, 1, axis=-1)               # t[i-1] at slot i
+        nxt = jnp.roll(tours, -1, axis=-1)              # t[j+1] at slot j
+        d = sim.dist
+        dac = d[prv[:, :, None], tours[:, None, :]]     # (S, i, j)
+        dbd = d[tours[:, :, None], nxt[:, None, :]]
+        dab = d[prv, tours][:, :, None]                 # (S, i, 1)
+        dcd = d[tours, nxt][:, None, :]                 # (S, 1, j)
+        return dac + dbd - dab - dcd
+
+    def reverse_segment(tours, i, j):
+        """Reverse positions i..j per chain (dynamic i<j, static shapes)."""
+        p = pos[None, :]
+        inside = (p >= i[:, None]) & (p <= j[:, None])
+        mirrored = i[:, None] + j[:, None] - p
+        src = jnp.where(inside, mirrored, p)
+        return jnp.take_along_axis(tours, src, axis=-1)
+
+    def body(carry, xt):
+        tours, best_len, best_tour = carry
+        temp, key_t = xt
+        k_sel, k_acc = jax.random.split(key_t)
+        dl = deltas(tours)                              # (S, n, n)
+        logits = jnp.where(valid, -dl / (2.0 * temp), -jnp.inf)
+        flat = jax.random.categorical(k_sel, logits.reshape(num_sims, -1),
+                                      axis=-1)
+        i, j = flat // n, flat % n
+        g = jnp.take_along_axis(
+            dl.reshape(num_sims, -1), flat[:, None], -1)[:, 0]
+        accept = (g < 0) | (jax.random.uniform(k_acc, g.shape)
+                            < jnp.exp(jnp.minimum(-g / temp, 20.0)))
+        new_tours = reverse_segment(tours, i, j)
+        tours = jnp.where(accept[:, None], new_tours, tours)
+        lens = sim.tour_length(tours)
+        b = jnp.argmin(lens)
+        better = lens[b] < best_len
+        best_len = jnp.where(better, lens[b], best_len)
+        best_tour = jnp.where(better, tours[b], best_tour)
+        return (tours, best_len, best_tour), None
+
+    init = (tours, jnp.asarray(jnp.inf), tours[0])
+    (tours, best_len, best_tour), _ = jax.lax.scan(
+        body, init, (temps, jax.random.split(k_run, num_steps)))
+    return best_len, best_tour

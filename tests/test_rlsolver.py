@@ -216,3 +216,34 @@ def test_summarize_results(tmp_path):
     with open(csv_path) as f:
         lines = f.read().strip().splitlines()
     assert len(lines) == 3 and lines[0].startswith('instance,alg')
+
+
+def test_isco_mis_matches_greedy():
+    """iSCO wired to the MIS flip-gain simulator (reference main_mis.py):
+    must return a strictly independent set at least as large as greedy-LS."""
+    from elegantrl_tpu.rlsolver import isco_mis_solve
+    from elegantrl_tpu.rlsolver.mis import MISSimulator, greedy_mis
+    edges = generate_graph('ER', 48, seed=3, avg_degree=6)
+    sim = MISSimulator(edges, 48)
+    g_obj, _ = greedy_mis(sim, jax.random.key(0), num_sims=128)
+    i_obj, i_x = isco_mis_solve(sim, jax.random.key(1), num_sims=256,
+                                num_steps=192)
+    assert float(sim.num_conflicts(i_x[None])[0]) == 0.0
+    assert float(i_obj) >= float(g_obj) - 1.0, (float(i_obj), float(g_obj))
+
+
+def test_isco_tsp_beats_nearest_neighbor():
+    """Permutation-space iSCO (2-opt proposals, locally-balanced weights,
+    reference main_tsp.py/env_isco_tsp.py) must beat plain nearest-neighbor
+    construction and return a valid tour."""
+    from elegantrl_tpu.rlsolver import isco_tsp_solve
+    from elegantrl_tpu.rlsolver.tsp import TSPSimulator, random_cities
+    sim = TSPSimulator(random_cities(32, seed=2))
+    nn_tours = sim.nearest_neighbor(jax.random.key(0), 16)
+    nn_best = float(sim.tour_length(nn_tours).min())
+    best_len, tour = isco_tsp_solve(sim, jax.random.key(1), num_sims=64,
+                                    num_steps=256)
+    assert sorted(np.asarray(tour).tolist()) == list(range(32))  # valid perm
+    np.testing.assert_allclose(
+        float(sim.tour_length(tour[None])[0]), float(best_len), rtol=1e-5)
+    assert float(best_len) <= nn_best * 1.02, (float(best_len), nn_best)
