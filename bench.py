@@ -54,7 +54,7 @@ def main():
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child"],
-                capture_output=True, text=True, timeout=1200)
+                capture_output=True, text=True, timeout=2700)
             for line in out.stdout.splitlines():
                 if line.startswith("{"):
                     print(line)

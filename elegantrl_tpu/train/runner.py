@@ -105,9 +105,22 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
                 f'MLP PPO on Pendulum-v1 (got agent={agent.name}, '
                 f'env={spec.env_name}, net_dims={args.net_dims})')
         return None
-    block = next((b for b in (1024, 512, 256, 128, 64, 32, 16, 8)
-                  if num_envs % b == 0 and b <= num_envs), None)
+    # VMEM budget: the per-block rollout outputs + noise input live in VMEM
+    # for the whole kernel ((S+A+4) outputs + (A+2) noise rows, f32).  Keep
+    # them under ~4 MB of the ~16 MB VMEM (weights/activations need the
+    # rest); blocks below 128 waste the 128-wide lane dim, so fall back to
+    # the scan path instead (long-horizon configs like the reference demo's
+    # horizon 2048 land there by design).
+    rows = 3 + 1 + 4 + 1 + 2   # S + A + (logp,rew,trunc,val) + A noise + 2
+    sizes = (1024, 512, 256, 128) if not interpret else (16, 8)
+    block = next((b for b in sizes
+                  if num_envs % b == 0 and b <= num_envs
+                  and rows * horizon_len * b * 4 <= 4 * 2 ** 20), None)
     if block is None:
+        if mode is True:
+            raise ValueError(
+                f'use_pallas_rollout=True: no block size fits VMEM for '
+                f'num_envs={num_envs}, horizon_len={horizon_len}')
         return None
     if not interpret and jax.devices()[0].platform != 'tpu':
         return None   # Mosaic kernels need a real TPU (or the interpreter)

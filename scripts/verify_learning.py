@@ -505,7 +505,7 @@ def _run_sac_humanoid_mujoco_host():
 
 
 SPECIALS = {
-    'mappo_chasing': (lambda: _marl_row('mappo_chasing', _run_mappo, -1.0)),
+    'mappo_chasing': (lambda: _marl_row('mappo_chasing', _run_mappo, 3.5)),
     'maddpg_chasing': (lambda: _marl_row('maddpg_chasing', _run_maddpg, -1.0)),
     'qmix_chasing': (lambda: _marl_row(
         'qmix_chasing', lambda: _run_qmix('qmix'), -2.0)),

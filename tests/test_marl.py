@@ -19,10 +19,13 @@ def test_env_contract():
 
 def test_mappo_learns_to_cooperate():
     env = make_team_chasing(num_agents=2, dim=2)
-    state, history = train_mappo(env, num_envs=16, horizon=64, batch_size=128,
-                                 repeat_times=4, num_rounds=12, verbose=False)
+    state, history = train_mappo(env, num_envs=64, horizon=64, batch_size=512,
+                                 repeat_times=4, num_rounds=25, verbose=False)
     assert len(history) >= 2
     assert history[-1] > history[0], history
+    # after the n_upd starvation fix MAPPO reaches ~4.5 here (QMIX/VDN level,
+    # random ~-8); 3.0 leaves seed margin
+    assert max(history[-3:]) > 3.0, history
 
 
 def test_qmix_learns():
