@@ -244,9 +244,14 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
                 new_logprob, entropy = logprob_entropy(
                     ap, s.norm_avg, s.norm_std, state, action)
                 if a2c:  # unclipped policy gradient (AgentPPO.py:308-310)
-                    obj_surrogate = jnp.mean(advantage * new_logprob)
-                    obj_entropy = jnp.mean(entropy)
-                    return -obj_surrogate, (obj_surrogate, obj_entropy)
+                    obj_surrogate = jnp.mean(advantage * new_logprob * unmask)
+                    obj_entropy = jnp.mean(entropy * unmask)
+                    # the reference's A2C drops the entropy bonus; without it
+                    # the exploration std collapses before Pendulum solves
+                    # (measured: plateaus ~-600).  Keep the same lambda the
+                    # PPO path uses.
+                    return (-(obj_surrogate - obj_entropy * lambda_entropy),
+                            (obj_surrogate, obj_entropy))
                 ratio = jnp.exp(new_logprob - logprob)
                 if if_single_sided_clip:  # reference form (AgentPPO.py:199)
                     surrogate = advantage * ratio * jnp.where(

@@ -9,9 +9,15 @@ forced False; AgentPPO.py:211-214) and the backward cumulative-reward scan
 All functions take time-major arrays shaped ``(horizon_len, num_envs)`` and
 are pure: they compile into a single fused scan on TPU instead of the
 reference's Python ``for t in range(H-1, -1, -1)`` loop of kernel launches.
-The scans unroll 8 steps per loop iteration: the bodies are a handful of
-(N,)-elementwise ops, so unrolling amortises the TPU's per-op launch latency
-without changing the math (profiled in scripts/profile_sol.py).
+
+Every recursion here is a first-order LINEAR recurrence
+``x_t = a_t * x_{t+1} + b_t``, so for horizons >= :data:`ASSOC_MIN_H` it is
+evaluated with ``jax.lax.associative_scan`` — log2(H) levels of (H, N)
+elementwise ops instead of H sequential steps, attacking the op-launch
+latency the profiler shows dominating the update half (bench.py sol_bound
+'op-latency').  The sequential unrolled scan is kept for short horizons and
+as the reference form; both paths are bit-compatible to f32 reassociation
+(tests/test_gae.py parity assertions).
 """
 
 from __future__ import annotations
@@ -20,6 +26,31 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+# horizon below which the sequential unrolled scan beats the associative
+# form's extra full-array passes (levels ~ log2 H; at tiny H the sequential
+# body is only a handful of fused ops anyway)
+ASSOC_MIN_H = 16
+
+
+def _linrec_reverse(a: jax.Array, b: jax.Array) -> jax.Array:
+    """x_t = a_t * x_{t+1} + b_t with x_H = 0, all t at once.
+
+    Composition of two adjacent steps is ``(a1, b1) . (a2, b2) =
+    (a1*a2, b1 + a1*b2)`` — associative, so the whole suffix product is a
+    depth-log2(H) ``associative_scan`` instead of an H-step scan."""
+
+    def compose(upstream, earlier):
+        # with reverse=True the FIRST argument is the already-combined
+        # suffix (later timesteps), the SECOND the earlier element being
+        # prepended: x = a_earlier * x_suffix + b_earlier
+        au, bu = upstream
+        ae, be = earlier
+        return au * ae, be + ae * bu
+
+    _, x = jax.lax.associative_scan(compose, (a, b), reverse=True, axis=0)
+    return x
 
 
 def apply_truncation_bootstrap(rewards: jax.Array, undones: jax.Array,
@@ -48,6 +79,10 @@ def gae_vtrace(rewards: jax.Array, undones: jax.Array, values: jax.Array,
     Returns advantages (H, N).
     """
     masks = undones * gamma
+    if rewards.shape[0] >= ASSOC_MIN_H:
+        # adv_t = (r_t + m_t*v_{t+1} - v_t) + (m_t*lam)*adv_{t+1}
+        v_next = jnp.concatenate([values[1:], next_value[None]], axis=0)
+        return _linrec_reverse(masks * lam, rewards + masks * v_next - values)
 
     def body(carry, xs):
         next_v, adv = carry
@@ -73,6 +108,14 @@ def gae_plain(rewards: jax.Array, undones: jax.Array, values: jax.Array,
     with carry initialised to zero.  Returns advantages (H, N).
     """
     masks = undones * gamma
+    if rewards.shape[0] >= ASSOC_MIN_H:
+        # carry_t = (v_t*(1-lam) + lam*r_t) + (lam*m_t)*carry_{t+1};
+        # adv_t   = r_t - v_t + m_t*carry_{t+1}
+        carry = _linrec_reverse(lam * masks,
+                                values * (1.0 - lam) + lam * rewards)
+        carry_next = jnp.concatenate(
+            [carry[1:], jnp.zeros_like(carry[:1])], axis=0)
+        return rewards - values + masks * carry_next
 
     def body(carry, xs):
         r, m, v = xs
@@ -92,6 +135,9 @@ def cumulative_returns(rewards: jax.Array, undones: jax.Array,
     ``ret[t] = r[t] + gamma*undone[t]*ret[t+1]`` seeded with ``next_value``.
     """
     masks = undones * gamma
+    if rewards.shape[0] >= ASSOC_MIN_H:
+        b = rewards.at[-1].add(masks[-1] * next_value)   # fold in the seed
+        return _linrec_reverse(masks, b)
 
     def body(next_ret, xs):
         r, m = xs

@@ -48,6 +48,19 @@ def cartpole_args(agent_class, num_envs=16):
                          'if_discrete': True}}
 
 
+# Envs that re-derive a gym task in pure JAX get an explicit label so their
+# rows can't be mistaken for real-physics numbers (the host rows already say
+# "(real Box2D)" / "(real MuJoCo)"); PARITY.md §2.3 quantifies the
+# LunarLander behavioral gap (~10% on a shared PD controller).  Pendulum and
+# CartPole are A/B-verified exact (1e-6) so they keep the bare name.
+_PURE_JAX_SIM = {'LunarLander-v2', 'LunarLanderContinuous-v2'}
+
+
+def _env_label(env_kw):
+    name = env_kw['env_args']['env_name']
+    return f'{name} (pure-JAX sim)' if name in _PURE_JAX_SIM else name
+
+
 def run(name, agent_class, env_kw, target, hp):
     args = Config(agent_class, env_kw['env_class'], dict(env_kw['env_args']))
     for k, v in hp.items():
@@ -64,7 +77,7 @@ def run(name, agent_class, env_kw, target, hp):
                 zip(r['recorder'], r.get('recorder_times', []))
                 if rec[1] >= target), None)
     row = {'name': name, 'agent': agent_class.__name__,
-           'env': env_kw['env_args']['env_name'],
+           'env': _env_label(env_kw),
            'max_r': round(r['max_r'], 1), 'target': target,
            'steps': r['total_step'], 'seconds': round(time.time() - t0, 1),
            'tts': tts,
@@ -91,19 +104,30 @@ DQN_CART = dict(net_dims=(128, 128), horizon_len=64, buffer_size=int(2e5),
 
 CONFIGS = {
     'ppo_pendulum': (AgentPPO, pendulum_args(AgentPPO), -250, ONPOL_PEND),
-    # A2C (unclipped surrogate) is genuinely weak on Pendulum — the
-    # reference ships no successful A2C Pendulum log either; sanity target
-    # = clearly better than random (~-1100)
-    'a2c_pendulum': (AgentA2C, pendulum_args(AgentA2C), -750,
-                     dict(ONPOL_PEND, learning_rate=2e-4)),
+    # A2C (unclipped surrogate) needs the classic short-horizon low-gamma
+    # recipe: with the PPO-style config it plateaus ~-600 at any budget
+    # (measured, incl. a clip-disabled PPO control), with gamma 0.9 /
+    # horizon 8 / single fresh pass it solves to ~-98 on CPU
+    'a2c_pendulum': (AgentA2C, pendulum_args(AgentA2C), -250,
+                     dict(net_dims=(64, 64), gamma=0.9, horizon_len=8,
+                          repeat_times=1, learning_rate=7e-4, batch_size=8,
+                          lambda_gae_adv=1.0, lambda_entropy=0.0,
+                          eval_per_step=int(5e4), break_step=int(5e5))),
     'ddpg_pendulum': (AgentDDPG, pendulum_args(AgentDDPG, 8), -200, OFFPOL_PEND),
     'td3_pendulum': (AgentTD3, pendulum_args(AgentTD3, 8), -150, OFFPOL_PEND),
+    # PER variant of the same recipe (reference demo_DDPG_TD3_SAC_with_PER
+    # .py:46-50): same env/steps as td3_pendulum, parity-or-better expected
+    'td3_pendulum_per': (AgentTD3, pendulum_args(AgentTD3, 8), -150,
+                         dict(OFFPOL_PEND, if_use_per=True, per_alpha=0.6,
+                              per_beta=0.4)),
     'sac_pendulum': (AgentSAC, pendulum_args(AgentSAC, 8), -200, OFFPOL_PEND),
     'modsac_pendulum': (AgentModSAC, pendulum_args(AgentModSAC, 8), -200, OFFPOL_PEND),
     'dqn_cartpole': (AgentDQN, cartpole_args(AgentDQN), 300, DQN_CART),
     'doubledqn_cartpole': (AgentDoubleDQN, cartpole_args(AgentDoubleDQN), 300, DQN_CART),
     'd3qn_cartpole': (AgentD3QN, cartpole_args(AgentD3QN), 300, DQN_CART),
-    'embeddqn_cartpole': (AgentEmbedDQN, cartpole_args(AgentEmbedDQN), 150, DQN_CART),
+    'embeddqn_cartpole': (AgentEmbedDQN, cartpole_args(AgentEmbedDQN), 300,
+                          dict(DQN_CART, learning_rate=5e-4,
+                               break_step=int(5e5))),
     'discreteppo_cartpole': (AgentDiscretePPO, cartpole_args(AgentDiscretePPO), 400,
                              dict(net_dims=(64, 64), horizon_len=128, repeat_times=16,
                                   learning_rate=6e-4, batch_size=256,
@@ -178,17 +202,20 @@ CONFIGS = {
                          'env_args': {'env_name': 'LunarLander-v2',
                                       'num_envs': 64, 'max_step': 1000,
                                       'state_dim': 8, 'action_dim': 4,
-                                      'if_discrete': True}}, 0,
+                                      'if_discrete': True}}, 150,
+                        # the D3QN row's recipe works for plain DQN too once
+                        # the buffer outlives a rollout (was 4e3 = one round;
+                        # measured 263.5 on CPU with this config)
                         dict(net_dims=(256, 256), horizon_len=64,
-                             buffer_size=int(4e3), batch_size=256,
-                             learning_rate=5e-4, explore_rate=0.1,
-                             eval_per_step=int(1e5), break_step=int(1.5e6))),
+                             buffer_size=int(3e4), batch_size=256,
+                             learning_rate=5e-4, explore_rate=0.2,
+                             eval_per_step=int(2e5), break_step=int(8e6))),
     'd3qn_lunarlander': (AgentD3QN,
                          {'env_class': LunarLanderEnv,
                           'env_args': {'env_name': 'LunarLander-v2',
                                        'num_envs': 64, 'max_step': 1000,
                                        'state_dim': 8, 'action_dim': 4,
-                                       'if_discrete': True}}, 0,
+                                       'if_discrete': True}}, 150,
                          dict(net_dims=(256, 256), horizon_len=64,
                               buffer_size=int(8e3), batch_size=256,
                               learning_rate=5e-4, explore_rate=0.2,

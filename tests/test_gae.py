@@ -93,3 +93,43 @@ def test_normalize_advantages_strided_std():
     sub = adv[::4, ::4]
     expect = (adv - adv.mean()) / (sub.std(ddof=1) + 1e-5)
     np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_associative_matches_sequential():
+    """The associative-scan fast path (H >= ASSOC_MIN_H) must reproduce the
+    sequential reference recursion to f32 reassociation tolerance, for all
+    three recurrences, including episodes cut by undone=0."""
+    import jax
+    from elegantrl_tpu.ops import gae as G
+
+    key = jax.random.PRNGKey(0)
+    H, N = 64, 37
+    ks = jax.random.split(key, 4)
+    r = jax.random.normal(ks[0], (H, N))
+    v = jax.random.normal(ks[1], (H, N))
+    u = (jax.random.uniform(ks[2], (H, N)) > 0.1).astype(jnp.float32)
+    nv = jax.random.normal(ks[3], (N,))
+
+    def seq(fn, *args, **kw):
+        # force the sequential branch by shrinking ASSOC_MIN_H's view
+        old = G.ASSOC_MIN_H
+        G.ASSOC_MIN_H = 10 ** 9
+        try:
+            return fn(*args, **kw)
+        finally:
+            G.ASSOC_MIN_H = old
+
+    a1 = G.gae_vtrace(r, u, v, nv, 0.97, 0.95)
+    a2 = seq(G.gae_vtrace, r, u, v, nv, 0.97, 0.95)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                               rtol=2e-5, atol=2e-5)
+
+    b1 = G.gae_plain(r, u, v, 0.97, 0.95)
+    b2 = seq(G.gae_plain, r, u, v, 0.97, 0.95)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                               rtol=2e-5, atol=2e-5)
+
+    c1 = G.cumulative_returns(r, u, nv, 0.97)
+    c2 = seq(G.cumulative_returns, r, u, nv, 0.97)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                               rtol=2e-5, atol=2e-5)

@@ -84,7 +84,10 @@ def test_host_collect_rollout_matches_contract():
     arrs, last_obs = host_collect_rollout(
         env.host_pool, explore_env_jit, params_cpu, obs0, k,
         horizon_len=8, reward_scale=0.5, cpu_device=cpu)
-    states, actions, logprobs, rewards, undones, unmasks = arrs
+    states, actions, logprobs, rewards, undones, unmasks = (
+        arrs.states, arrs.actions, arrs.logprobs, arrs.rewards,
+        arrs.undones, arrs.unmasks)
+    assert arrs.extras is None   # host rollouts carry no in-scan extras
     assert states.shape == (8, 4, 3) and actions.shape == (8, 4, 1)
     assert logprobs.shape == (8, 4) and rewards.shape == (8, 4)
     assert last_obs.shape == (4, 3)

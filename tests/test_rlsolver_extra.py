@@ -211,7 +211,10 @@ def test_ppo_maxcut_flip_env_and_solver():
 
     ls_obj, _ = greedy_local_search(sim, jax.random.key(0), num_sims=256,
                                     num_iters=48)
-    out = ppo_maxcut_solve(sim, seed=0, num_envs=32, break_step=200_000)
+    # 64 envs / 400k steps: passes with margin on seeds 0-1 on both GAE
+    # paths (32/200k sat exactly at the 0.9 boundary and flipped with the
+    # associative-GAE bit pattern)
+    out = ppo_maxcut_solve(sim, seed=0, num_envs=64, break_step=400_000)
     assert out['best_cut'] >= 0.9 * float(ls_obj), (out['best_cut'], ls_obj)
     # best_x reproduces best_cut
     assert abs(float(sim.obj(jnp.asarray(out['best_x'])[None])[0])
