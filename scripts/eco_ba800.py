@@ -60,16 +60,24 @@ def main():
                                   key=jax.random.PRNGKey(1))
     eco_s = time.time() - t0
 
+    # time-fair LS baseline: give greedy-LS at least ECO's inference wall
+    # (restarts x sweeps scaled until the budget is used)
     t0 = time.time()
-    xs = sim.rand_xs(jax.random.PRNGKey(2), 32)
-    xs = sim.local_search_sweep(xs, jax.random.PRNGKey(3), num_sweeps=64)
-    ls_best = float(sim.obj(xs).max())
+    ls_best, tries = -1e9, 0
+    k = jax.random.PRNGKey(2)
+    while time.time() - t0 < max(eco_s, 5.0):
+        k, k1, k2 = jax.random.split(k, 3)
+        xs = sim.rand_xs(k1, 256)
+        xs = sim.local_search_sweep(xs, k2, num_sweeps=128)
+        ls_best = max(ls_best, float(sim.obj(xs).max()))
+        tries += 256
     ls_s = time.time() - t0
 
     print(f"| eco_ba800: ECO-DQN(trained BA-60, {train_steps} steps, "
           f"{train_s:.0f}s) cut={cut_eco:.0f} in {eco_s:.1f}s | "
-          f"greedy-LS(32 restarts, 64 sweeps) cut={ls_best:.0f} in {ls_s:.1f}s "
-          f"| {'ECO WINS' if cut_eco > ls_best else 'LS wins'}", flush=True)
+          f"greedy-LS({tries} restarts x 128 sweeps) cut={ls_best:.0f} "
+          f"in {ls_s:.1f}s | "
+          f"{'ECO WINS' if cut_eco > ls_best else 'LS wins'}", flush=True)
 
 
 if __name__ == '__main__':

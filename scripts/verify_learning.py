@@ -511,6 +511,13 @@ def _run_sac_hopper_mujoco_host():
     return _run_sac_mujoco_host('Hopper-v5', 1500.0, int(1.2e6))
 
 
+def _run_sac_bipedal_host():
+    """SAC on REAL Box2D BipedalWalker-v3 through host-rollout mode — the
+    reference's plan_BipedalWalker-v3.py target_return=300 (:19), which its
+    own tree only plans; same generic recipe as the MuJoCo rows."""
+    return _run_sac_mujoco_host('BipedalWalker-v3', 310.0, int(2e6))
+
+
 def _run_sac_halfcheetah_mujoco_host():
     return _run_sac_mujoco_host('HalfCheetah-v5', 4000.0, int(1.2e6))
 
@@ -552,6 +559,9 @@ SPECIALS = {
     'sac_hopper_mujoco_host': (lambda: _marl_row(
         'sac_hopper_mujoco_host', _run_sac_hopper_mujoco_host, 1000.0,
         'Hopper-v5 (real MuJoCo)')),
+    'sac_bipedal_host': (lambda: _marl_row(
+        'sac_bipedal_host', _run_sac_bipedal_host, 300.0,
+        'BipedalWalker-v3 (real Box2D)')),
     'sac_halfcheetah_mujoco_host': (lambda: _marl_row(
         'sac_halfcheetah_mujoco_host', _run_sac_halfcheetah_mujoco_host,
         2000.0, 'HalfCheetah-v5 (real MuJoCo)')),
