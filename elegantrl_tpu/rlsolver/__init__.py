@@ -14,6 +14,7 @@ from .isco import isco_solve, isco_mis_solve, isco_tsp_solve  # noqa: F401
 from .s2v_dqn import make_s2v_dqn, s2v_dqn_solve  # noqa: F401
 from .eco_dqn import (build_pool, make_eco_dqn, eco_greedy_solve,  # noqa: F401
                       init_mpnn, mpnn_q)
+from .runcsp import make_runcsp, runcsp_solve  # noqa: F401
 from .tsp import TSPSimulator, tsp_solve, random_cities  # noqa: F401
 from .attention_tsp import make_attention_tsp, train_attention_tsp  # noqa: F401
 from .l2a import make_l2a, l2a_solve  # noqa: F401

@@ -219,3 +219,31 @@ def test_ppo_maxcut_flip_env_and_solver():
     # best_x reproduces best_cut
     assert abs(float(sim.obj(jnp.asarray(out['best_x'])[None])[0])
                - out['best_cut']) < 1e-4
+
+
+def test_runcsp_amortized_maxcut():
+    """RUN-CSP-style recurrent GNN (reference Env_RUN-CSP.py slot ships no
+    method): trained once on a BA-pool, the amortized forward unroll on an
+    UNSEEN graph must reach >= 92% of greedy local search."""
+    import jax
+    import numpy as np
+    from elegantrl_tpu.rlsolver import (MaxCutSimulator, generate_graph,
+                                        greedy_local_search)
+    from elegantrl_tpu.rlsolver.runcsp import make_runcsp, runcsp_solve
+    from elegantrl_tpu.rlsolver.graphs import edges_to_adjacency
+
+    pool = np.stack([edges_to_adjacency(generate_graph('BA', 24, seed=s), 24)
+                     for s in range(16)])
+    init_fn, train_fn = make_runcsp(pool, dim=32, steps=16)
+    state = init_fn(jax.random.PRNGKey(0))
+    state, loss = train_fn(state, jax.random.PRNGKey(1), 300)
+    assert np.isfinite(float(loss))
+
+    edges = generate_graph('BA', 24, seed=77)           # held out
+    sim = MaxCutSimulator(edges, 24)
+    adj = edges_to_adjacency(edges, 24)
+    best, x = runcsp_solve(state[0], adj, key=jax.random.PRNGKey(2))
+    ls_obj, _ = greedy_local_search(sim, jax.random.key(3), num_sims=256,
+                                    num_iters=48)
+    np.testing.assert_allclose(float(sim.obj(x[None])[0]), best, rtol=1e-5)
+    assert best >= 0.92 * float(ls_obj), (best, float(ls_obj))
