@@ -12,7 +12,8 @@ vestigial — SURVEY.md §2.2), built on this framework's fused-loop pattern:
 - the entire explore+GAE+SGD round is one jitted program, vmapped over envs.
 
 (The reference file also mentions RNN policies and popart value norm; here
-policies are MLPs and advantages are batch-normalized — documented delta.)
+policies are MLPs and advantages are batch-normalized — for the recurrent
+GRU + PopArt variant with full-rollout BPTT see ``marl/mappo_rnn.py``.)
 """
 
 from __future__ import annotations
