@@ -16,7 +16,8 @@ vestigial — its imports don't exist, SURVEY.md §2.2), TPU-native:
 - the whole round (rollout + insert + G SGD steps) is one jitted program.
 
 (The reference file also describes RNN agents and TD-lambda targets; here
-agents are MLPs with 1-step targets — documented delta.)
+agents are MLPs with 1-step targets — :mod:`.qmix_rnn` provides that
+recurrent + TD(λ) capability.)
 """
 
 from __future__ import annotations

@@ -47,6 +47,17 @@ def test_vdn_runs_finite():
     assert np.isfinite(history).all()
 
 
+def test_qmix_rnn_tdlambda_learns():
+    from elegantrl_tpu.marl import make_team_chasing_discrete, train_qmix_rnn
+    env = make_team_chasing_discrete(num_agents=2, dim=2)
+    state, history = train_qmix_rnn(env, num_envs=32, horizon=64,
+                                    num_rounds=60, verbose=False)
+    assert np.isfinite(history).all()
+    # GRU agents + TD(lambda) reach ~4.0-4.5 here without the dip the MLP
+    # 1-step variant shows (random ~-8); 3.0 leaves seed margin
+    assert max(history[-3:]) > 3.0, history
+
+
 def test_maddpg_learns():
     from elegantrl_tpu.marl import make_team_chasing, train_maddpg
     env = make_team_chasing(num_agents=2, dim=2)
