@@ -18,3 +18,6 @@ from .gym_parity import (  # noqa: F401
     gym_lunar_lander_continuous,
 )
 from .pixel_chasing import PixelChasingEnv, make_pixel_chasing  # noqa: F401
+from .isaac import (  # noqa: F401
+    IsaacVecEnv, SimUnavailable, load_isaac_task, make_isaac_env,
+)
