@@ -358,6 +358,22 @@ def _run_maddpg():
     return float(max(hist[-3:])), 120 * 64 * 32
 
 
+def _run_mappo_rnn():
+    from elegantrl_tpu.marl import make_team_chasing, train_mappo_rnn
+    env = make_team_chasing(num_agents=2, dim=2)
+    _, hist = train_mappo_rnn(env, num_envs=64, horizon=64, seq_batch=16,
+                              repeat_times=4, num_rounds=40, verbose=False)
+    return float(max(hist[-3:])), 40 * 64 * 64
+
+
+def _run_qmix_rnn():
+    from elegantrl_tpu.marl import make_team_chasing_discrete, train_qmix_rnn
+    env = make_team_chasing_discrete(num_agents=2, dim=2)
+    _, hist = train_qmix_rnn(env, num_envs=32, horizon=64, num_rounds=120,
+                             verbose=False)
+    return float(max(hist[-5:])), 120 * 32 * 64
+
+
 def _run_qmix(mixer):
     from elegantrl_tpu.marl import make_team_chasing_discrete, train_qmix
     env = make_team_chasing_discrete(num_agents=2, dim=2)
@@ -545,6 +561,10 @@ SPECIALS = {
         'qmix_chasing', lambda: _run_qmix('qmix'), -2.0)),
     'vdn_chasing': (lambda: _marl_row(
         'vdn_chasing', lambda: _run_qmix('vdn'), -2.0)),
+    'mappornn_chasing': (lambda: _marl_row(
+        'mappornn_chasing', _run_mappo_rnn, 3.0)),
+    'qmixrnn_chasing': (lambda: _marl_row(
+        'qmixrnn_chasing', _run_qmix_rnn, 3.0)),
     'population_ppo': (lambda: _marl_row(
         'population_ppo', _run_population, -200.0, 'Pendulum-v1')),
     'population_stock': (lambda: _marl_row(
