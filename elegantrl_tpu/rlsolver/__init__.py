@@ -18,6 +18,7 @@ from .runcsp import make_runcsp, runcsp_solve  # noqa: F401
 from .tsp import TSPSimulator, tsp_solve, random_cities  # noqa: F401
 from .attention_tsp import make_attention_tsp, train_attention_tsp  # noqa: F401
 from .l2a import make_l2a, l2a_solve  # noqa: F401
+from .graph_trs import make_graph_trs, pretrain_graph_trs  # noqa: F401
 from .ga import genetic_algorithm  # noqa: F401
 from .vrp import VRPTWSimulator, vrptw_solve, random_vrptw  # noqa: F401
 from .tnco import (TNCOSimulator, tnco_greedy, tnco_anneal,  # noqa: F401

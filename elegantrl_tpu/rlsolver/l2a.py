@@ -26,23 +26,30 @@ from .maxcut import MaxCutSimulator
 
 
 class L2AParams(NamedTuple):
-    w_in: jax.Array    # (2, D): [spin, normalized gain] lift
+    w_in: jax.Array    # (2[+E], D): [spin, normalized gain, pretrained] lift
     w_msg: jax.Array   # (D, D)
     w_self: jax.Array  # (D, D)
     w_out: jax.Array   # (D, 1)
 
 
 def make_l2a(sim: MaxCutSimulator, embed_dim: int = 32, msg_rounds: int = 2,
-             lr: float = 3e-3):
+             lr: float = 3e-3, node_embed=None):
+    """``node_embed`` (N, E), optional: frozen per-node embeddings from a
+    pretrained :mod:`.graph_trs` — the reference's PolicyTRS-consumes-
+    GraphTRS-memory pattern (L2A/network.py:110-190); the policy then
+    conditions on learned graph structure, not just the live spin/gain."""
     adj = sim.adj
     deg = jnp.sum(adj, axis=-1) + 1e-6
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     ortho = jax.nn.initializers.orthogonal()
+    if node_embed is not None:
+        node_embed = jax.lax.stop_gradient(jnp.asarray(node_embed))
+    in_dim = 2 + (0 if node_embed is None else node_embed.shape[-1])
 
     def init(key) -> Tuple[L2AParams, tuple]:
         ks = jax.random.split(key, 4)
         params = L2AParams(
-            w_in=ortho(ks[0], (2, embed_dim)),
+            w_in=ortho(ks[0], (in_dim, embed_dim)),
             w_msg=ortho(ks[1], (embed_dim, embed_dim)) * 0.5,
             w_self=ortho(ks[2], (embed_dim, embed_dim)) * 0.5,
             w_out=ortho(ks[3], (embed_dim, 1)) * 0.1)
@@ -52,6 +59,11 @@ def make_l2a(sim: MaxCutSimulator, embed_dim: int = 32, msg_rounds: int = 2,
         """(S, N) per-node flip probabilities in [0.2, 0.8] (the reference's
         Simpler squash, mcpg.py:178-183) conditioned on graph + solution."""
         feats = jnp.stack([2.0 * xs - 1.0, sim.flip_gains(xs) / deg], -1)
+        if node_embed is not None:
+            feats = jnp.concatenate(
+                [feats, jnp.broadcast_to(node_embed,
+                                         xs.shape + node_embed.shape[-1:])],
+                axis=-1)
         h = jax.nn.relu(feats @ params.w_in)
         for _ in range(msg_rounds):
             msg = jnp.einsum('ij,sjd->sid', adj, h) / deg[None, :, None]
@@ -103,9 +115,9 @@ def make_l2a(sim: MaxCutSimulator, embed_dim: int = 32, msg_rounds: int = 2,
 
 
 def l2a_solve(sim: MaxCutSimulator, key: jax.Array, num_chains: int = 512,
-              num_epochs: int = 30, num_transfers: int = 32, num_ls: int = 8
-              ) -> Tuple[float, jax.Array]:
-    init, epoch = make_l2a(sim)
+              num_epochs: int = 30, num_transfers: int = 32, num_ls: int = 8,
+              node_embed=None) -> Tuple[float, jax.Array]:
+    init, epoch = make_l2a(sim, node_embed=node_embed)
     k_init, key = jax.random.split(key)
     params, opt_state = init(k_init)
     best_obj, best_x = -jnp.inf, jnp.zeros(sim.num_nodes)

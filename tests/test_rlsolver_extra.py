@@ -247,3 +247,30 @@ def test_runcsp_amortized_maxcut():
                                     num_iters=48)
     np.testing.assert_allclose(float(sim.obj(x[None])[0]), best, rtol=1e-5)
     assert best >= 0.92 * float(ls_obj), (best, float(ls_obj))
+
+
+def test_graph_trs_pretrains_and_transfers_to_l2a():
+    """GraphTRS self-supervised pretrain (the reference's L2A depth half,
+    L2A/graph_embedding_pretrain.py:48-103): structure losses fall, the
+    node-identity head beats chance by far, and embeddings of an UNSEEN
+    instance condition l2a_solve to greedy-LS level."""
+    from elegantrl_tpu.rlsolver import (
+        greedy_local_search, l2a_solve, pretrain_graph_trs)
+    from elegantrl_tpu.rlsolver.graphs import edges_to_adjacency
+    params, embed, hist = pretrain_graph_trs(
+        24, 'ER', num_graphs=32, num_steps=250, batch_size=16, embed_dim=32)
+    losses = [h[0] for h in hist]
+    accs = [h[1] for h in hist]
+    assert losses[-1] < 0.4 * losses[0], hist
+    assert accs[-1] > 0.8, hist          # chance = 1/24
+    edges = generate_graph('ER', 24, seed=777)   # unseen instance
+    adj = jnp.asarray(edges_to_adjacency(edges, 24)[None], jnp.float32)
+    emb = embed(params, adj)[0]
+    assert bool(jnp.isfinite(emb).all())
+    sim = MaxCutSimulator(edges, 24)
+    ls, _ = greedy_local_search(sim, jax.random.key(0), num_sims=256,
+                                num_iters=48)
+    obj, x = l2a_solve(sim, jax.random.key(1), num_chains=128, num_epochs=6,
+                       num_transfers=16, num_ls=8, node_embed=emb)
+    assert obj >= 0.9 * float(ls), (obj, float(ls))
+    np.testing.assert_allclose(float(sim.obj(x[None])[0]), obj)
