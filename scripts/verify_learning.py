@@ -7,6 +7,7 @@ docstrings embed expected scores; SURVEY.md §4).  Run on TPU:
     python scripts/verify_learning.py [quick]
 """
 
+import os
 import sys
 import time
 
@@ -527,6 +528,21 @@ def _run_sac_hopper_mujoco_host():
     return _run_sac_mujoco_host('Hopper-v5', 1500.0, int(1.2e6))
 
 
+def _run_isaac_mock():
+    """PPO through the external-batched-sim (Isaac VecTask) adapter on the
+    mock point-mass reach task — proves the envs/isaac.py host-rollout path
+    trains on real hardware.  Scripted optimum −2.3, random −30
+    (examples/plan_Isaac_Gym.py calibration)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'plan_isaac', os.path.join(os.path.dirname(__file__), os.pardir,
+                                   'examples', 'plan_Isaac_Gym.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    r = mod.plan_isaac('mock', quick=False)
+    return float(r['max_r']), int(r['total_step'])
+
+
 def _run_sac_bipedal_host():
     """SAC on REAL Box2D BipedalWalker-v3 through host-rollout mode — the
     reference's plan_BipedalWalker-v3.py target_return=300 (:19), which its
@@ -563,6 +579,9 @@ SPECIALS = {
         'vdn_chasing', lambda: _run_qmix('vdn'), -2.0)),
     'mappornn_chasing': (lambda: _marl_row(
         'mappornn_chasing', _run_mappo_rnn, 3.0)),
+    'ppo_isaac_mock': (lambda: _marl_row(
+        'ppo_isaac_mock', _run_isaac_mock, -6.0,
+        'MockVecTask-v0 (external batched sim)')),
     'qmixrnn_chasing': (lambda: _marl_row(
         'qmixrnn_chasing', _run_qmix_rnn, 3.0)),
     'population_ppo': (lambda: _marl_row(
