@@ -156,15 +156,20 @@ def collect_rollout(env: EnvDef, agent_state: Any,
 
     ``extras_fn(agent_state, obs) -> pytree`` is evaluated per step while
     ``obs`` is hot (see :class:`AgentDef.rollout_extras`).  ``store_dtype``
-    (bf16) quantises the stored ``states`` — and ``actions`` only when the
-    agent keeps no logprob (off-policy): on-policy stored logprobs were
-    computed on the full-precision action, so quantising it would skew the
-    importance ratio.
+    (bf16) quantises the stored ``states`` — the policy ACTS on the
+    quantised obs too, so the stored logprob and the update-time re-eval see
+    bit-identical state values (quantising only the stored copy would skew
+    the first-epoch importance ratio off 1).  ``actions`` are quantised only
+    when the agent keeps no logprob (off-policy), for the same reason.
     """
 
     def body(carry, key_t):
         env_state, obs = carry
         k_act, k_env = jax.random.split(key_t)
+        if store_dtype is not None:
+            # round to storage precision BEFORE acting: policy input ==
+            # stored state, so the PPO ratio is exactly 1 on fresh data
+            obs = obs.astype(store_dtype).astype(obs.dtype)
         action, logprob = explore_action(agent_state, obs, k_act)
         extra = extras_fn(agent_state, obs) if extras_fn is not None else None
         env_state, next_obs, reward, terminal, truncate = vec_step(

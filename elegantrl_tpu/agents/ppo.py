@@ -246,11 +246,13 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
                 if a2c:  # unclipped policy gradient (AgentPPO.py:308-310)
                     obj_surrogate = jnp.mean(advantage * new_logprob * unmask)
                     obj_entropy = jnp.mean(entropy * unmask)
-                    # the reference's A2C drops the entropy bonus; without it
-                    # the exploration std collapses before Pendulum solves
-                    # (measured: plateaus ~-600).  Keep the same lambda the
-                    # PPO path uses.
-                    return (-(obj_surrogate - obj_entropy * lambda_entropy),
+                    # A2C here takes a true entropy BONUS (+lambda*H in the
+                    # maximized objective) to slow exploration-std collapse —
+                    # unlike the PPO branch below, which keeps the
+                    # reference's sign (a penalty, AgentPPO.py:203-204) for
+                    # exact parity.  The reference's A2C drops the term
+                    # entirely (AgentPPO.py:292-311).
+                    return (-(obj_surrogate + obj_entropy * lambda_entropy),
                             (obj_surrogate, obj_entropy))
                 ratio = jnp.exp(new_logprob - logprob)
                 if if_single_sided_clip:  # reference form (AgentPPO.py:199)
@@ -263,6 +265,9 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
                                              1.0 + ratio_clip))
                 obj_surrogate = jnp.mean(surrogate * unmask)
                 obj_entropy = jnp.mean(entropy * unmask)
+                # sign matches the reference exactly: obj_actor_full =
+                # surrogate - lambda*entropy, maximized (AgentPPO.py:203-204)
+                # — i.e. a small entropy PENALTY at the default 1e-3 lambda
                 loss = -(obj_surrogate - obj_entropy * lambda_entropy)
                 if hterm:
                     loss = loss - h_term_lambda * h_objective(ap, key_h)

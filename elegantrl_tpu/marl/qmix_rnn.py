@@ -186,27 +186,34 @@ def make_qmix_rnn(env: MultiAgentEnvDef, hid: int = 64, mix_dim: int = 32,
                 return q_seq                      # (H+1, B, M, A)
 
             q_tgt = rescan(target)
-            # double-Q: online argmax picks, target net values, at t+1
-            n_act = jnp.argmax(rescan(params)[1:], axis=-1)     # (H, B, M)
-            n_taken = jnp.take_along_axis(
-                q_tgt[1:], n_act[..., None], -1)[..., 0]        # (H, B, M)
-            qbar = mix(target, n_taken, gs_s[1:])               # (H, B)
-
-            # TD(λ): y_t = r_t + γ u_t ((1-λ) Q̄_{t+1} + λ y_{t+1}),
-            # bootstrapped from Q̄ at the sequence end
-            def back(y_next, xs):
-                r_t, u_t, qb_t = xs
-                y = r_t + gamma * u_t * ((1 - lam) * qb_t + lam * y_next)
-                return y, y
-            _, ys = jax.lax.scan(back, qbar[-1], (r_s, u_s, qbar),
-                                 reverse=True)                  # (H, B)
 
             def loss_fn(p):
-                q_seq = rescan(p)[:-1]                          # (H, B, M, A)
+                # ONE online BPTT re-scan serves both the loss Q values and
+                # the double-Q action selection (stop_gradient'd) — an
+                # earlier version ran rescan(params) a second time outside
+                # the grad, a redundant full forward unroll per update
+                q_seq = rescan(p)                               # (H+1,B,M,A)
+                # double-Q: online argmax picks, target net values, at t+1
+                n_act = jnp.argmax(
+                    jax.lax.stop_gradient(q_seq[1:]), axis=-1)  # (H, B, M)
+                n_taken = jnp.take_along_axis(
+                    q_tgt[1:], n_act[..., None], -1)[..., 0]    # (H, B, M)
+                qbar = mix(target, n_taken, gs_s[1:])           # (H, B)
+
+                # TD(λ): y_t = r_t + γ u_t ((1-λ) Q̄_{t+1} + λ y_{t+1}),
+                # bootstrapped from Q̄ at the sequence end
+                def back(y_next, xs):
+                    r_t, u_t, qb_t = xs
+                    y = r_t + gamma * u_t * ((1 - lam) * qb_t + lam * y_next)
+                    return y, y
+                _, ys = jax.lax.scan(back, qbar[-1], (r_s, u_s, qbar),
+                                     reverse=True)              # (H, B)
+
                 taken = jnp.take_along_axis(
-                    q_seq, act_s[..., None], -1)[..., 0]
+                    q_seq[:-1], act_s[..., None], -1)[..., 0]
                 tot = mix(p, taken, gs_s[:-1])                  # (H, B)
-                return jnp.mean(optax.huber_loss(tot, ys))
+                return jnp.mean(optax.huber_loss(
+                    tot, jax.lax.stop_gradient(ys)))
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt = optimizer.update(grads, opt, params)

@@ -140,8 +140,12 @@ def eco_observe(pool: EcoPool, s: EcoEnvState) -> jax.Array:
     dist_state = jnp.mean(s.spins != s.best_spins, axis=-1,
                           keepdims=True)                  # /n (paper norm)
     greedy_avail = 1.0 - jnp.mean(gains <= 0, axis=-1, keepdims=True)
-    imm = (s.step[:, None] / max_steps).astype(jnp.float32)
-    cols = [binary, gains / ml, s.tsf,
+    # capped at the trained range: inference rollouts (eco_greedy_solve) run
+    # past max_steps without resetting, and the net never saw imm > 1 or
+    # tsf > 1 (no-op during training, where episodes reset at max_steps)
+    imm = (jnp.minimum(s.step[:, None], max_steps - 1)
+           / max_steps).astype(jnp.float32)
+    cols = [binary, gains / ml, jnp.minimum(s.tsf, 1.0),
             jnp.broadcast_to(dist_score, binary.shape),
             jnp.broadcast_to(dist_state, binary.shape),
             jnp.broadcast_to(greedy_avail, binary.shape),
@@ -401,7 +405,9 @@ def make_eco_dqn(pool: EcoPool, batch: int = 32, features: int = 64,
                  target_freq: int = 50, lr_peak: float = 1e-3,
                  lr_final: float = 1e-4, lr_ramp: int = 300,
                  lr_decay: int = 6000, basin_reward: Optional[float] = None):
-    """Returns (init_fn, round_fn, solve_fn).
+    """Returns (init_fn, round_fn); test-time inference is the module-level
+    :func:`eco_greedy_solve` (it is size-invariant, so it takes params + any
+    graph rather than closing over this pool).
 
     ``round_fn(state, steps)`` runs ``steps`` env-steps (each: B parallel
     transitions + one double-DQN minibatch update) as one lax.scan.
@@ -505,8 +511,12 @@ def eco_greedy_solve(params: MPNNParams, adj: np.ndarray,
         q = mpnn_q(params, obs, pool.adj[env.gidx], pool.pm_one)
         action = jnp.argmax(q, axis=-1).astype(jnp.int32)
         env2, _, _ = eco_step(pool, env, action, 0.0)
-        # never auto-reset at inference: keep exploring from where we are
-        env2 = env2._replace(step=jnp.zeros_like(env2.step))
+        # never auto-reset at inference: keep exploring from where we are.
+        # step keeps counting past max_steps — the Zobrist ring slot
+        # (step+1) % ring_len keeps cycling and eco_observe caps the
+        # imm/tsf features at their trained range (an earlier version
+        # zeroed step here, which froze imm at 0 and pinned the ring
+        # write slot — a feature distribution the net never trained on)
         return env2, None
 
     env, _ = jax.jit(lambda e: jax.lax.scan(body, e, None, length=steps))(env)

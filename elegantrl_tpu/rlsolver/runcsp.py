@@ -70,7 +70,11 @@ def _unroll(params: RunCSPParams, adj: jax.Array, h0: jax.Array, steps: int):
 def _uncut_prob(adj: jax.Array, p: jax.Array) -> jax.Array:
     """Expected UNcut edge weight: sum_ij w_ij [p_i p_j + (1-p_i)(1-p_j)]/2
     — the MaxCut-as-CSP violation probability, batched."""
-    pq = p @ jnp.swapaxes(adj, -1, -2)  # == adj @ p for symmetric adj
+    # explicit per-graph contraction: p is (..., G, n) with arbitrary leading
+    # axes (e.g. unroll steps), adj is (G, n, n) — a plain matmul would
+    # broadcast the step axis against the graph axis (crash, or worse,
+    # silently pair step t with graph t when steps == G)
+    pq = jnp.einsum('...gn,gnm->...gm', p, adj)
     tot = jnp.sum(adj, (-2, -1)) / 2.0
     cut_soft = jnp.sum(p * jnp.sum(adj, -1) + (1.0 - 2.0 * p) * pq,
                        -1) / 2.0      # sum w_ij (p_i(1-p_j)+p_j(1-p_i))/2*2

@@ -54,10 +54,8 @@ class ReplayBuffer:
         self.if_use_per = bool(if_use_per)
         # bulk-tensor storage dtype: bf16 halves the ring's HBM residency and
         # sample-gather traffic (states + float actions; scalars stay f32)
-        self.storage_dtype = (
-            jnp.bfloat16
-            if str(getattr(args, 'storage_dtype', 'float32')) == 'bfloat16'
-            else jnp.float32)
+        from ..agents.base import resolve_storage_dtype
+        self.storage_dtype = resolve_storage_dtype(args) or jnp.float32
         self.per_alpha = float(getattr(args, 'per_alpha', 0.6))
         self.per_beta = float(getattr(args, 'per_beta', 0.4))
         self.if_use_cum_rewards = float(getattr(args, 'lambda_fit_cum_r', 0.0)) != 0.0

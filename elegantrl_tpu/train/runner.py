@@ -123,7 +123,12 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
                 f'num_envs={num_envs}, horizon_len={horizon_len}')
         return None
     if not interpret and jax.devices()[0].platform != 'tpu':
-        return None   # Mosaic kernels need a real TPU (or the interpreter)
+        if mode is True:   # explicit request must not silently fall back
+            raise ValueError(
+                'use_pallas_rollout=True: Mosaic kernels need a real TPU '
+                f'(current backend: {jax.devices()[0].platform}); use '
+                "use_pallas_rollout='interpret' for CPU testing")
+        return None
     from ..ops.pallas_rollout import make_pendulum_ppo_rollout
     print("| build_training: pallas fused-rollout fast path enabled "
           f"(block={block})", flush=True)

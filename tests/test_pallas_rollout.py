@@ -2,8 +2,10 @@
 (``ops/pallas_rollout.py``) against the generic ``collect_rollout`` scan
 path, run on CPU via the TPU interpreter.
 
-The kernel samples from the TPU core PRNG — a different stream than
-``jax.random`` — so parity is checked *deterministically* by recomputing
+The kernel consumes noise drawn OUTSIDE the kernel with ``jax.random`` and
+streamed in as an input (ops/pallas_rollout.py design note) — deterministic
+given the key but a different split sequence than the scan path — so parity
+is checked *deterministically* by recomputing
 every stored quantity from the kernel's own stored states/actions with the
 reference-path pure functions: actor mean, logprob, critic value, reward,
 dynamics transition, truncation bookkeeping.  A separate statistical test

@@ -234,7 +234,9 @@ def test_runcsp_amortized_maxcut():
 
     pool = np.stack([edges_to_adjacency(generate_graph('BA', 24, seed=s), 24)
                      for s in range(16)])
-    init_fn, train_fn = make_runcsp(pool, dim=32, steps=16)
+    # steps deliberately != pool size: a mis-broadcast pairing the unroll
+    # axis with the graph axis crashed/mistrained here (caught in review)
+    init_fn, train_fn = make_runcsp(pool, dim=32, steps=24)
     state = init_fn(jax.random.PRNGKey(0))
     state, loss = train_fn(state, jax.random.PRNGKey(1), 300)
     assert np.isfinite(float(loss))
