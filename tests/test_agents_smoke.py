@@ -105,3 +105,36 @@ def test_explore_and_update(agent_class):
     else:
         assert ga.shape == (NUM_ENVS, spec.action_dim)
         assert np.all(np.abs(np.asarray(ga)) <= 1.0)
+
+
+def test_bf16_storage_logprob_consistency():
+    """With storage_dtype=bf16 the policy ACTS on the quantized obs, so
+    re-evaluating the stored (bf16) states with the same per-step keys
+    reproduces the stored logprobs to compilation-level noise (~1 ULP; the
+    eager re-eval and the fused scan round differently) — i.e. PPO's
+    first-epoch importance ratio is 1 on fresh data.  Before the fix the
+    policy acted on FULL-precision obs, so this re-eval differed at bf16
+    rounding scale (~1e-3), orders above the tolerance here."""
+    from elegantrl_tpu.agents import AgentPPO
+    env, agent, _ = _build(AgentPPO, False)
+    key = jax.random.key(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    agent_state = agent.init(k1)
+    env_state, obs = vec_reset(env, k2, NUM_ENVS)
+    rollout, _, _ = collect_rollout(
+        env, agent_state, agent.explore_action, agent.env_action,
+        env_state, obs, k3, HORIZON, reward_scale=1.0,
+        store_dtype=jnp.bfloat16)
+    assert rollout.states.dtype == jnp.bfloat16
+    # mirror collect_rollout's key schedule: split(key, H) then (k_act, _)
+    keys = jax.random.split(k3, HORIZON)
+    for t in range(0, HORIZON, 3):
+        k_act, _ = jax.random.split(keys[t])
+        action, logprob = agent.explore_action(
+            agent_state, rollout.states[t].astype(jnp.float32), k_act)
+        np.testing.assert_allclose(np.asarray(action),
+                                   np.asarray(rollout.actions[t]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(logprob),
+                                   np.asarray(rollout.logprobs[t]),
+                                   atol=1e-4)
