@@ -375,6 +375,29 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
     total_step = 0
     t_start = time.time()
     if_train = True
+
+    # Mid-run full-carry checkpointing: resumable runs (continue_train or
+    # if_save_buffer) write train_carry.npz every save_gap eval periods, so
+    # a killed/wedged process loses at most one interval instead of the
+    # whole run (the tunneled TPU link occasionally wedges a long-running
+    # process's transfers — observed on multi-hour host-rollout runs).
+    # End-of-run still writes the final carry below, as before.
+    _carry_resumable = (args.continue_train or args.if_save_buffer)
+    _carry_gap = max(1, int(getattr(args, 'save_gap', 8)))
+    _evals_done = [0]
+
+    def _maybe_save_carry(carry):
+        if not _carry_resumable:
+            return
+        _evals_done[0] += 1
+        if _evals_done[0] % _carry_gap == 0:
+            addressable = all(getattr(x, 'is_fully_addressable', True)
+                              for x in jax.tree.leaves(carry))
+            if addressable:
+                path = os.path.join(args.cwd, 'train_carry.npz')
+                save_pytree(path + '.tmp.npz', carry)
+                os.replace(path + '.tmp.npz', path)  # atomic: no torn ckpt
+
     if use_host_rollout:
         from ..envs.host_env import host_collect_rollout, make_explore_env_fn
         # one jitted explore+convert per step on the CPU backend (measured
@@ -412,6 +435,7 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
                 carry.agent_state, steps=steps_per_round * rounds_per_eval)
             # one on-device stack + ONE host fetch, not rounds_per_eval fetches
             _process(np.asarray(jnp.mean(jnp.stack(packs), 0)), handle)
+            _maybe_save_carry(carry)
             total_step += steps_per_round * rounds_per_eval
             if_train = (total_step <= args.break_step
                         and evaluator.max_r < args.break_score
@@ -438,6 +462,8 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
             if not pipeline:
                 _process(*prev)
                 prev = None
+            _maybe_save_carry(carry)   # blocks on the in-flight round only
+            #                            every save_gap evals, when resumable
             total_step += steps_per_round * rounds_per_eval
             if_train = (total_step <= args.break_step
                         and evaluator.max_r < args.break_score
