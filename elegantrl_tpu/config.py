@@ -115,6 +115,9 @@ class Config:
     def init_before_training(self):
         if self.random_seed is None:
             self.random_seed = max(0, int(self.gpu_id))
+        if self.continue_train:
+            # resuming must never delete the checkpoints it resumes from
+            self.if_remove = False
         if self.cwd is None:
             agent_name = getattr(self.agent_class, '__name__', 'Agent')
             agent_name = agent_name[5:] if agent_name.startswith('Agent') else agent_name

@@ -492,7 +492,8 @@ def _run_ppoh_hopper_mujoco_host():
     return float(r['max_r']), int(r['total_step'])
 
 
-def _run_sac_mujoco_host(env_id: str, break_score: float, break_step: int):
+def _run_sac_mujoco_host(env_id: str, break_score: float, break_step: int,
+                         resumable: bool = False):
     """Plain SAC on a REAL MuJoCo task through host-rollout mode — the
     off-policy counterpart of the ppoh row (no reference baseline exists;
     its MuJoCo entries are stale scripts).  1 update per 16 env-steps via
@@ -520,6 +521,12 @@ def _run_sac_mujoco_host(env_id: str, break_score: float, break_step: int):
     #                                 tunnel exposure short (a mid-run relay
     #                                 wedge killed a longer first attempt)
     args.cwd = f'/tmp/verify_sac_{env_id.split("-")[0].lower()}_mujoco'
+    if resumable:
+        # long runs over the tunnel occasionally wedge: save the full carry
+        # every 4 evals and resume from it on relaunch (runner mid-run
+        # checkpointing) instead of restarting from scratch
+        args.continue_train = True
+        args.save_gap = 4
     r = train_agent(args)
     return float(r['max_r']), int(r['total_step'])
 
@@ -547,7 +554,8 @@ def _run_sac_bipedal_host():
     """SAC on REAL Box2D BipedalWalker-v3 through host-rollout mode — the
     reference's plan_BipedalWalker-v3.py target_return=300 (:19), which its
     own tree only plans; same generic recipe as the MuJoCo rows."""
-    return _run_sac_mujoco_host('BipedalWalker-v3', 310.0, int(2e6))
+    return _run_sac_mujoco_host('BipedalWalker-v3', 310.0, int(2e6),
+                                resumable=True)
 
 
 def _run_sac_halfcheetah_mujoco_host():
