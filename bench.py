@@ -122,7 +122,9 @@ def child():
         dt = max(min(ts) - rtt, 1e-9)
         sol = None
         if trace_rounds:
-            run(carry, trace_rounds)                    # compile 2nd length
+            # compile the 2nd length AND block on it, so no in-flight device
+            # work bleeds into the traced window (would inflate busy/bytes)
+            fetch(run(carry, trace_rounds).obs)
             with tempfile.TemporaryDirectory() as td:
                 jax.profiler.start_trace(td)
                 fetch(run(carry, trace_rounds).obs)

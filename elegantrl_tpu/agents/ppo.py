@@ -97,6 +97,53 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
     optimizer = make_optimizer(lr, clip_grad)
     net_dims = tuple(net_dims)
 
+    # Fused whole-update Pallas kernel (ops/pallas_update.py): the entire
+    # minibatch-SGD loop as ONE op, auto-selected when the workload matches
+    # its scope — continuous 2-hidden-layer MLP PPO, f32 compute, lane-
+    # aligned batch, single chip.  args.use_pallas_update:
+    # 'auto' (default) | True | False | 'interpret' (CPU tests).
+    pallas_update_mode = getattr(args, 'use_pallas_update', 'auto')
+
+    def _fused_update(horizon_len: int):
+        """Build the fused-update kernel for this trace's shapes, or None."""
+        mode = pallas_update_mode
+        if mode in (False, 'false', '0'):
+            return None
+        interpret = (mode == 'interpret')
+        eligible = (not (discrete or a2c or hterm)
+                    and len(net_dims) == 2
+                    and batch_size % 128 == 0
+                    and compute_dtype is None)
+        update_times = max(1, int(horizon_len * repeat_times / batch_size))
+        n_params = (state_dim * net_dims[0] + net_dims[0]
+                    + net_dims[0] * net_dims[1] + net_dims[1]
+                    + net_dims[1] * (action_dim + 1) + action_dim + 1) * 2
+        from ..ops.pallas_update import fused_update_bytes
+        fits = fused_update_bytes(update_times, batch_size, state_dim,
+                                  action_dim, n_params) <= 8 * 2 ** 20
+        if not (eligible and fits):
+            if mode is True:
+                raise ValueError(
+                    'use_pallas_update=True requires continuous (non-A2C, '
+                    'non-H-term) 2-hidden-layer MLP PPO with batch_size a '
+                    'multiple of 128, f32 compute, and a VMEM-sized '
+                    f'minibatch block (got batch_size={batch_size}, '
+                    f'net_dims={net_dims}, update_times={update_times})')
+            return None
+        if not interpret and jax.devices()[0].platform != 'tpu':
+            if mode is True:
+                raise ValueError(
+                    'use_pallas_update=True: Mosaic kernels need a real TPU '
+                    f'(current backend: {jax.devices()[0].platform}); use '
+                    "use_pallas_update='interpret' for CPU testing")
+            return None
+        from ..ops.pallas_update import make_ppo_fused_update
+        return make_ppo_fused_update(
+            state_dim, action_dim, batch_size, update_times,
+            ratio_clip=ratio_clip, lambda_entropy=lambda_entropy, lr=lr,
+            clip_grad=clip_grad, single_sided=if_single_sided_clip,
+            interpret=interpret)
+
     def init(key):
         k1, k2 = jax.random.split(key)
         act_mlp = mlp_init(k1, (state_dim, *net_dims, action_dim), out_std=0.1)
@@ -157,6 +204,10 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
         horizon_len, num_envs = rollout.rewards.shape
         states, actions, logprobs = rollout.states, rollout.actions, rollout.logprobs
         rewards, undones, unmasks = rollout.rewards, rollout.undones, rollout.unmasks
+        # fast-path rollouts keep the kernel-native transposed layout
+        # (H, S, N) / (H, A, N), flagged by the 'tsn' extras key — the
+        # un-transpose XLA op it saves measured ~210 us/round (profile_sol)
+        tsn = rollout.extras is not None and 'tsn' in rollout.extras
 
         '''advantages (no-grad), reference AgentPPO.py:138-151'''
         value_fn = partial(critic_value, s.cri, s.norm_avg, s.norm_std)
@@ -209,6 +260,50 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
         '''minibatch SGD scan, reference AgentPPO.py:159-205'''
         update_times = max(1, int(horizon_len * repeat_times / batch_size))
 
+        fused = None if hterm else _fused_update(horizon_len)
+        if fused is not None:
+            # identical RNG streams to the scan path: split once, one key
+            # per minibatch, same sample_flat_ids per key
+            keys = jax.random.split(key, update_times)
+            ids0, ids1 = jax.vmap(
+                lambda k: sample_flat_ids(k, horizon_len, num_envs,
+                                          batch_size))(keys)   # (U, B) x2
+            if tsn:
+                # gather per feature plane: each (H, N) slice keeps the
+                # kernel output's native layout, so XLA gathers scalars
+                # instead of re-laying-out the whole states tensor (the
+                # profiler measured that relayout copy at ~203 us/round)
+                sb = jnp.stack([states[:, i, :][ids0, ids1]
+                                for i in range(states.shape[1])], axis=1)
+                ab = jnp.stack([actions[:, i, :][ids0, ids1]
+                                for i in range(actions.shape[1])], axis=1)
+                sb = sb.astype(jnp.float32)                    # (U, S, B)
+                ab = ab.astype(jnp.float32)                    # (U, A, B)
+            else:
+                sb = jnp.transpose(states[ids0, ids1],
+                                   (0, 2, 1)).astype(jnp.float32)
+                ab = jnp.transpose(actions[ids0, ids1],
+                                   (0, 2, 1)).astype(jnp.float32)
+            lpb = logprobs[ids0, ids1]
+            advb = advantages[ids0, ids1]
+            rsb = reward_sums[ids0, ids1]
+            umb = unmasks[ids0, ids1]
+            act, cri, act_opt, cri_opt, metrics = fused(
+                s.act, s.cri, s.act_opt, s.cri_opt, s.norm_avg, s.norm_std,
+                sb, ab, lpb, advb, rsb, umb)
+            norm_avg, norm_std = s.norm_avg, s.norm_std
+            if state_value_tau > 0:
+                flat_states = (jnp.moveaxis(states, 1, 2) if tsn
+                               else states)
+                flat = flat_states.reshape(
+                    -1, flat_states.shape[-1]).astype(jnp.float32)
+                tau = state_value_tau
+                norm_avg = norm_avg * (1 - tau) + jnp.mean(flat, axis=0) * tau
+                norm_std = jnp.maximum(
+                    norm_std * (1 - tau) + jnp.std(flat, axis=0) * tau, 1e-4)
+            return PPOState(act, cri, act_opt, cri_opt,
+                            norm_avg, norm_std), metrics
+
         def minibatch(carry, key_t):
             act, cri, act_opt, cri_opt = carry
             # split only when the H-term consumes randomness, so plain PPO's
@@ -226,8 +321,12 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
                 reward_sum = reward_sums[ids0]
             else:
                 ids0, ids1 = sample_flat_ids(key_t, horizon_len, num_envs, batch_size)
-                state = states[ids0, ids1]
-                action = actions[ids0, ids1]
+                if tsn:  # transposed (H, S, N) layout from the fast rollout
+                    state = states[ids0, :, ids1]
+                    action = actions[ids0, :, ids1]
+                else:
+                    state = states[ids0, ids1]
+                    action = actions[ids0, ids1]
                 unmask = unmasks[ids0, ids1]
                 logprob = logprobs[ids0, ids1]
                 advantage = advantages[ids0, ids1]

@@ -64,18 +64,58 @@ def _wrap_angle(x):
     return y - jnp.floor(y / _TWO_PI) * _TWO_PI - math.pi
 
 
+def _uniform_from_bits(bits):
+    """Random bits -> f32 uniforms in [0, 1): (bits & 0xFFFFFF) * 2^-24.
+    ``prng_random_bits`` yields int32 and Mosaic can't cast uint32->f32, so
+    keep the low 24 bits with a mask (non-negative int32, exact in f32).
+    """
+    return (bits & 0xFFFFFF).astype(jnp.float32) * (2.0 ** -24)
+
+
 def _make_kernel(horizon_len: int, block: int, action_dim: int,
-                 reward_scale: float):
+                 reward_scale: float, quantize: bool = False,
+                 internal_rng: bool = False):
+    """``quantize``: round obs to bf16 BEFORE the policy acts, matching
+    ``collect_rollout``'s quantize-before-act contract (agents/base.py):
+    the stored state, the acting input and the update-time re-eval must all
+    see bit-identical values so the first-epoch PPO ratio is exactly 1.
+
+    ``internal_rng``: draw the exploration normals and reset uniforms with
+    the TPU core's native PRNG (``pltpu.prng_random_bits`` seeded from the
+    caller's key + program_id, normals via Box-Muller) instead of streaming
+    a host-threefry noise tensor in.  Distribution-identical, different
+    stream; removes the ~116 us/round of threefry fusions the profiler
+    measured on the flagship config AND the (H, A+2, B) VMEM noise input.
+    The interpreter's ``prng_random_bits`` is a constant stub, so interpret
+    mode keeps the external path (tests/test_pallas_rollout.py checks the
+    external math; the TPU-only statistical test checks the internal draw).
+    """
     H, B, A = horizon_len, block, action_dim
 
-    def kernel(th_ref, thdot_ref, tc_ref,      # (1, B) f32 f32 i32
-               noise_ref,                      # (H, A+2, B) f32: z + 2 resets
-               avg_ref, nstd_ref,              # (S, 1) state norm
-               w1_ref, b1_ref, w2_ref, b2_ref, wa_ref, ba_ref,   # actor^T
-               c1_ref, cb1_ref, c2_ref, cb2_ref, cv_ref, cbv_ref,  # critic^T
-               std_ref,                        # (A, 1) exp(std_log)
-               states_o, actions_o, logp_o, rew_o, trunc_o, val_o,
-               th_o, thdot_o, tc_o):
+    def kernel(*refs):
+        if internal_rng:
+            (th_ref, thdot_ref, tc_ref, seed_ref,
+             avg_ref, nstd_ref,
+             w1_ref, b1_ref, w2_ref, b2_ref, wa_ref, ba_ref,
+             c1_ref, cb1_ref, c2_ref, cb2_ref, cv_ref, cbv_ref,
+             std_ref,
+             states_o, actions_o, logp_o, rew_o, trunc_o, val_o,
+             th_o, thdot_o, tc_o) = refs
+            noise_ref = None
+            # prng_seed takes at most 2 words: mix the grid block id into
+            # word 0 with a golden-ratio odd constant (int32 wrap is fine)
+            pltpu.prng_seed(
+                seed_ref[0] + pl.program_id(0) * (-1640531527),
+                seed_ref[1])
+        else:
+            (th_ref, thdot_ref, tc_ref,
+             noise_ref,                    # (H, A+2, B) f32: z + 2 resets
+             avg_ref, nstd_ref,
+             w1_ref, b1_ref, w2_ref, b2_ref, wa_ref, ba_ref,
+             c1_ref, cb1_ref, c2_ref, cb2_ref, cv_ref, cbv_ref,
+             std_ref,
+             states_o, actions_o, logp_o, rew_o, trunc_o, val_o,
+             th_o, thdot_o, tc_o) = refs
         avg = avg_ref[:]
         nstd = nstd_ref[:] + 1e-4
         w1, b1 = w1_ref[:], b1_ref[:]
@@ -91,7 +131,9 @@ def _make_kernel(horizon_len: int, block: int, action_dim: int,
             th, thdot, tc = carry                          # (1,B)x2 f32, i32
             costh, sinth = jnp.cos(th), jnp.sin(th)
             x = jnp.concatenate([costh, sinth, thdot], axis=0)   # (S, B)
-            states_o[pl.ds(t, 1)] = x[None]                # raw obs stored
+            if quantize:  # storage-precision round BEFORE acting (see above)
+                x = x.astype(jnp.bfloat16).astype(jnp.float32)
+            states_o[pl.ds(t, 1)] = x[None]                # stored obs
             xn = (x - avg) / nstd
             # actor MLP (gelu hidden, raw head) == ops/nets.py:mlp_apply
             h = jax.nn.gelu(
@@ -106,9 +148,18 @@ def _make_kernel(horizon_len: int, block: int, action_dim: int,
                 jnp.dot(c2, hc, preferred_element_type=jnp.float32) + cb2)
             v = jnp.dot(cv, hc, preferred_element_type=jnp.float32) + cbv
             val_o[pl.ds(t, 1)] = v
-            # host-drawn noise rows for this step: A normals + 2 uniforms
-            nz = noise_ref[pl.ds(t, 1)].reshape(A + 2, B)
-            z, u = nz[0:A], nz[A:A + 2]
+            if internal_rng:
+                # native PRNG: 2A uniforms -> A Box-Muller normals, + 2
+                # reset uniforms.  log(1-u) is safe: u in [0, 1-2^-24].
+                ub = _uniform_from_bits(
+                    pltpu.prng_random_bits((2 * A + 2, B)))
+                z = jnp.sqrt(-2.0 * jnp.log(1.0 - ub[0:A])) * jnp.cos(
+                    _TWO_PI * ub[A:2 * A])
+                u = ub[2 * A:2 * A + 2]
+            else:
+                # host-drawn noise rows: A normals + 2 uniforms
+                nz = noise_ref[pl.ds(t, 1)].reshape(A + 2, B)
+                z, u = nz[0:A], nz[A:A + 2]
             action = mean + std * z                        # (A, B)
             actions_o[pl.ds(t, 1)] = action[None]
             logp = jnp.sum(-0.5 * jnp.square(z) - log_std - _LOG_SQRT_2PI,
@@ -153,7 +204,13 @@ def make_pendulum_ppo_rollout(net_dims, horizon_len: int, num_envs: int,
         raise ValueError(f"num_envs={num_envs} not divisible by block={B}")
     grid = (num_envs // B,)
     H = int(horizon_len)
-    kernel = _make_kernel(H, B, A, float(reward_scale))
+    if store_dtype is not None and store_dtype != jnp.bfloat16:
+        raise ValueError(f'unsupported store_dtype {store_dtype} for the '
+                         'fused rollout kernel (only bfloat16 / None)')
+    internal_rng = not interpret   # interpreter's prng_random_bits is a stub
+    kernel = _make_kernel(H, B, A, float(reward_scale),
+                          quantize=store_dtype is not None,
+                          internal_rng=internal_rng)
 
     env_spec = pl.BlockSpec((1, B), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
@@ -162,10 +219,14 @@ def make_pendulum_ppo_rollout(net_dims, horizon_len: int, num_envs: int,
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
+    if internal_rng:
+        noise_spec = [pl.BlockSpec(memory_space=pltpu.SMEM)]   # (2,) seed
+    else:
+        noise_spec = [pl.BlockSpec((H, A + 2, B), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM)]   # noise tensor
     in_specs = [
         env_spec, env_spec, env_spec,                 # th, thdot, tc
-        pl.BlockSpec((H, A + 2, B), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),        # noise
+        *noise_spec,
         full((S, 1)), full((S, 1)),                   # avg, nstd
         full((D1, S)), full((D1, 1)), full((D2, D1)), full((D2, 1)),
         full((A, D2)), full((A, 1)),
@@ -208,11 +269,16 @@ def make_pendulum_ppo_rollout(net_dims, horizon_len: int, num_envs: int,
         (w1, b1), (w2, b2), (wa, ba) = agent_state.act['mlp']
         (c1, cb1), (c2, cb2), (cv, cbv) = agent_state.cri
         std = jnp.exp(agent_state.act['std_log'])            # (1, A)
-        kz, ku = jax.random.split(key)
-        noise = jnp.concatenate([
-            jax.random.normal(kz, (H, A, num_envs), jnp.float32),
-            jax.random.uniform(ku, (H, 2, num_envs), jnp.float32),
-        ], axis=1)
+        if internal_rng:
+            # seed the core PRNG from the caller's key (deterministic)
+            noise = jax.lax.bitcast_convert_type(
+                jax.random.key_data(key).reshape(2), jnp.int32)
+        else:
+            kz, ku = jax.random.split(key)
+            noise = jnp.concatenate([
+                jax.random.normal(kz, (H, A, num_envs), jnp.float32),
+                jax.random.uniform(ku, (H, 2, num_envs), jnp.float32),
+            ], axis=1)
         col = lambda v: v.reshape(-1, 1)
         (states_t, actions_t, logprobs, rewards, truncs, values,
          th, thdot, tc) = call(
@@ -224,16 +290,20 @@ def make_pendulum_ppo_rollout(net_dims, horizon_len: int, num_envs: int,
             w1.T, col(b1), w2.T, col(b2), wa.T, col(ba),
             c1.T, col(cb1), c2.T, col(cb2), cv.T, col(cbv),
             std.reshape(A, 1))
-        states = jnp.transpose(states_t, (0, 2, 1))
-        actions = jnp.transpose(actions_t, (0, 2, 1))
+        # Keep the kernel-native transposed layout (H, S, N)/(H, A, N) and
+        # flag it with the 'tsn' extras marker — the PPO update gathers
+        # minibatches from either layout, and skipping the un-transpose
+        # saves the round's single largest non-kernel op (~210 us measured,
+        # scripts/profile_sol.py 'data formatting').
         if store_dtype is not None:
-            states = states.astype(store_dtype)
+            states_t = states_t.astype(store_dtype)
         rollout = Rollout(
-            states=states, actions=actions, logprobs=logprobs,
+            states=states_t, actions=actions_t, logprobs=logprobs,
             rewards=rewards,
             undones=jnp.ones_like(rewards),     # Pendulum never terminates
             unmasks=1.0 - truncs,
-            extras={'values': values})
+            extras={'values': values,
+                    'tsn': jnp.zeros((horizon_len, 0), jnp.float32)})
         th, thdot = th.reshape(-1), thdot.reshape(-1)
         env_state = type(env_state)(theta=th, theta_dot=thdot,
                                     t=tc.reshape(-1))

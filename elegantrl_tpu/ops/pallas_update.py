@@ -1,0 +1,296 @@
+"""Fused whole-update Pallas kernel: the PPO minibatch-SGD loop in ONE op.
+
+Why this exists: after the fused rollout kernel (``ops/pallas_rollout.py``)
+took the rollout half of the flagship round to ~380 us, the profiler
+(``scripts/profile_sol.py``) showed the update half dominating: ~585 us/round
+of GAE + minibatch gathers + tiny (512 x 128) matmul fwd/bwd chains + Adam —
+dozens of ~1-2 us ops per minibatch, op-launch-latency bound exactly like the
+rollout was (reference update loop: ``elegantrl/agents/AgentPPO.py:159-205``).
+
+The TPU-native fix is the same op-count attack: ONE kernel that keeps the
+actor/critic params AND their Adam moments resident in VMEM and runs the
+entire ``update_times`` SGD loop as a ``fori_loop``.  The minibatches are
+pre-gathered OUTSIDE the kernel (one batched XLA gather per tensor, using
+bit-identical RNG streams to the scan path's per-minibatch
+``sample_flat_ids``), so the kernel touches HBM only to read its (U, ..., B)
+minibatch block and write the updated params — the irreducible traffic.
+
+Layout: everything transposed, exactly like the rollout kernel — minibatch
+activations are (features, B) with the batch riding the 128-wide lane dim,
+params enter as W^T / column biases, and per-sample vectors (logprob,
+advantage, ...) are (1, B) rows.  Adam/clip are elementwise/norm ops, so
+updating transposed params with transposed grads IS the transposed update —
+the wrapper transposes back once at the end.
+
+The loss/grad math is not hand-derived: the kernel body traces the SAME jnp
+loss closures the scan path uses and differentiates them with
+``jax.value_and_grad`` *inside* the kernel (autodiff happens at trace time;
+the VJP ops — matmuls, gelu-grad elementwise chains, reductions — all lower
+to Mosaic).  Optimizer math replicates optax exactly:
+
+- ``clip_by_global_norm``: ``select(gn < clip, g, g * clip / gn)``
+  (optax/_src/clipping.py);
+- ``scale_by_adam`` + ``scale(-lr)``: ``mu = b1*mu + (1-b1)*g``,
+  ``nu = b2*nu + (1-b2)*g**2``, ``p += -lr * (mu/bc1) / (sqrt(nu/bc2) + eps)``
+  with bias corrections ``bc = 1 - beta**count`` PRECOMPUTED outside the
+  kernel per iteration (a (U, 4) SMEM table), matching optax's int-count pow.
+
+Scope: continuous-action Gaussian-MLP PPO (any env — the update half is
+env-independent), 2 hidden layers, batch_size a multiple of 128, f32
+compute, single chip.  Parity: tests/test_pallas_update.py asserts the
+fused update matches the scan path's new params/metrics to f32 tolerance on
+identical inputs (same minibatch ids by construction).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import dists
+
+
+def _adam_parts(opt_state):
+    """Extract (count, mu, nu) from ``make_optimizer``'s
+    chain(clip_by_global_norm, adam) state; see agents/base.py."""
+    adam = opt_state[1][0]
+    return adam.count, adam.mu, adam.nu
+
+
+def _with_adam_parts(opt_state, count, mu, nu):
+    adam = opt_state[1][0]._replace(count=count, mu=mu, nu=nu)
+    return (opt_state[0], (adam, *opt_state[1][1:]))
+
+
+def _to_kernel(x):
+    """Transpose a param leaf into kernel layout: (in, out) weights ->
+    (out, in); 1-D biases -> (D, 1) columns; (1, A) std_log -> (A, 1)."""
+    return x.reshape(-1, 1) if x.ndim == 1 else x.T
+
+
+def _from_kernel(x, shape):
+    return x.reshape(shape) if len(shape) == 1 else x.T
+
+
+def _make_kernel(U: int, B: int, S: int, A: int, n_act: int, n_cri: int,
+                 hp: dict):
+    """hp: ratio_clip, lambda_entropy, lr, clip_grad, b1, b2, eps,
+    single_sided (bool)."""
+    ratio_clip = hp['ratio_clip']
+    lambda_entropy = hp['lambda_entropy']
+    lr, clip_grad = hp['lr'], hp['clip_grad']
+    b1, b2, eps = hp['b1'], hp['b2'], hp['eps']
+    single_sided = hp['single_sided']
+    n_leaves = n_act + n_cri
+
+    def adam_step(params, mus, nus, grads, bc1, bc2):
+        """Exact optax chain(clip_by_global_norm, adam) on flat leaf lists."""
+        gn = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in grads))
+        scale = jnp.where(gn < clip_grad, 1.0, clip_grad / gn)
+        new_p, new_mu, new_nu = [], [], []
+        for p, mu, nu, g in zip(params, mus, nus, grads):
+            g = g * scale
+            mu = b1 * mu + (1.0 - b1) * g
+            nu = b2 * nu + (1.0 - b2) * jnp.square(g)
+            upd = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+            new_p.append(p - lr * upd)
+            new_mu.append(mu)
+            new_nu.append(nu)
+        return new_p, new_mu, new_nu
+
+    def kernel(*refs):
+        (sb_ref, ab_ref, lp_ref, adv_ref, rs_ref, um_ref,   # minibatch data
+         avg_ref, nstd_ref, bc_ref) = refs[:9]              # norm + SMEM bias
+        param_refs = refs[9:9 + n_leaves]
+        mu_refs = refs[9 + n_leaves:9 + 2 * n_leaves]
+        nu_refs = refs[9 + 2 * n_leaves:9 + 3 * n_leaves]
+        out_param = refs[9 + 3 * n_leaves:9 + 4 * n_leaves]
+        out_mu = refs[9 + 4 * n_leaves:9 + 5 * n_leaves]
+        out_nu = refs[9 + 5 * n_leaves:9 + 6 * n_leaves]
+        objs_ref = refs[9 + 6 * n_leaves]
+
+        avg, nstd = avg_ref[:], nstd_ref[:] + 1e-4          # (S, 1)
+        leaves0 = tuple(r[:] for r in param_refs)
+        mus0 = tuple(r[:] for r in mu_refs)
+        nus0 = tuple(r[:] for r in nu_refs)
+
+        def mlp(leaves, x):
+            """leaves = [w1T (D1,S), b1 (D1,1), w2T, b2, w3T, b3]; x (S, B).
+            Same math as ops/nets.py:mlp_apply, transposed."""
+            h = jax.nn.gelu(jnp.dot(leaves[0], x,
+                                    preferred_element_type=jnp.float32)
+                            + leaves[1])
+            h = jax.nn.gelu(jnp.dot(leaves[2], h,
+                                    preferred_element_type=jnp.float32)
+                            + leaves[3])
+            return jnp.dot(leaves[4], h,
+                           preferred_element_type=jnp.float32) + leaves[5]
+
+        def body(u, carry):
+            leaves, mus, nus = carry
+            act_leaves = leaves[:n_act]
+            cri_leaves = leaves[n_act:]
+            x = sb_ref[pl.ds(u, 1)].reshape(S, B)
+            a = ab_ref[pl.ds(u, 1)].reshape(A, B)
+            lp = lp_ref[pl.ds(u, 1)]                         # (1, B)
+            adv = adv_ref[pl.ds(u, 1)]
+            rs = rs_ref[pl.ds(u, 1)]
+            um = um_ref[pl.ds(u, 1)]
+            xn = (x - avg) / nstd
+            bc1a, bc2a = bc_ref[u, 0], bc_ref[u, 1]
+            bc1c, bc2c = bc_ref[u, 2], bc_ref[u, 3]
+
+            def cri_loss_fn(cl):
+                v = mlp(cl, xn)                              # (1, B)
+                return jnp.mean(jnp.square(v - rs) * um)
+
+            obj_critic, g_cri = jax.value_and_grad(cri_loss_fn)(cri_leaves)
+            new_cri, new_cmu, new_cnu = adam_step(
+                cri_leaves, mus[n_act:], nus[n_act:], g_cri, bc1c, bc2c)
+
+            def act_loss_fn(al):
+                # al = [w1T, b1, w2T, b2, w3T, b3, std_log (A, 1)]
+                mean = mlp(al[:6], xn)                       # (A, B)
+                std = jnp.exp(al[6])                         # (A, 1)
+                stdb = jnp.broadcast_to(std, mean.shape)
+                new_lp = jnp.sum(dists.normal_logprob(a, mean, stdb),
+                                 axis=0, keepdims=True)      # (1, B)
+                entropy = jnp.sum(dists.normal_entropy(stdb),
+                                  axis=0, keepdims=True)     # (1, B)
+                ratio = jnp.exp(new_lp - lp)
+                if single_sided:   # reference form (AgentPPO.py:199)
+                    surrogate = adv * ratio * jnp.where(
+                        adv > 0, 1.0 - ratio_clip, 1.0 + ratio_clip)
+                else:
+                    surrogate = jnp.minimum(
+                        adv * ratio,
+                        adv * jnp.clip(ratio, 1.0 - ratio_clip,
+                                       1.0 + ratio_clip))
+                obj_surrogate = jnp.mean(surrogate * um)
+                obj_entropy = jnp.mean(entropy * um)
+                return (-(obj_surrogate - obj_entropy * lambda_entropy),
+                        (obj_surrogate, obj_entropy))
+
+            (_, (obj_s, obj_e)), g_act = jax.value_and_grad(
+                act_loss_fn, has_aux=True)(act_leaves)
+            new_act, new_amu, new_anu = adam_step(
+                act_leaves, mus[:n_act], nus[:n_act], g_act, bc1a, bc2a)
+
+            objs_ref[pl.ds(u, 1)] = jnp.concatenate(
+                [obj_critic.reshape(1, 1), obj_s.reshape(1, 1),
+                 obj_e.reshape(1, 1)], axis=1)               # (1, 3)
+            return (tuple(new_act) + tuple(new_cri),
+                    tuple(new_amu) + tuple(new_cmu),
+                    tuple(new_anu) + tuple(new_cnu))
+
+        leaves, mus, nus = jax.lax.fori_loop(
+            0, U, body, (leaves0, mus0, nus0))
+        for r, v in zip(out_param, leaves):
+            r[:] = v
+        for r, v in zip(out_mu, mus):
+            r[:] = v
+        for r, v in zip(out_nu, nus):
+            r[:] = v
+
+    return kernel
+
+
+def fused_update_bytes(update_times: int, batch_size: int, state_dim: int,
+                       action_dim: int, n_params: int) -> int:
+    """Rough VMEM residency of the fused update: minibatch block + 3 copies
+    of the params (p, mu, nu), f32."""
+    data = update_times * batch_size * (state_dim + action_dim + 4) * 4
+    return data + 3 * n_params * 4
+
+
+def make_ppo_fused_update(state_dim: int, action_dim: int, batch_size: int,
+                          update_times: int, *, ratio_clip: float,
+                          lambda_entropy: float, lr: float, clip_grad: float,
+                          single_sided: bool = False, b1: float = 0.9,
+                          b2: float = 0.999, eps: float = 1e-8,
+                          interpret: bool = False):
+    """Build ``fused(act, cri, act_opt, cri_opt, norm_avg, norm_std,
+    sb, ab, lpb, advb, rsb, umb) -> (act, cri, act_opt, cri_opt, metrics)``
+    — the drop-in replacement for the PPO minibatch ``lax.scan``
+    (agents/ppo.py:update, reference AgentPPO.py:159-205).
+
+    Minibatch inputs in kernel layout: ``sb (U, S, B)``, ``ab (U, A, B)``,
+    the rest ``(U, 1, B)`` — pre-gathered with the same ids the scan path
+    would draw.
+    """
+    U, B = int(update_times), int(batch_size)
+    S, A = int(state_dim), int(action_dim)
+    hp = dict(ratio_clip=float(ratio_clip), lambda_entropy=float(lambda_entropy),
+              lr=float(lr), clip_grad=float(clip_grad), b1=float(b1),
+              b2=float(b2), eps=float(eps), single_sided=bool(single_sided))
+
+    def fused(act, cri, act_opt, cri_opt, norm_avg, norm_std,
+              sb, ab, lpb, advb, rsb, umb) -> Tuple:
+        act_flat, act_tdef = jax.tree.flatten(act)
+        cri_flat, cri_tdef = jax.tree.flatten(cri)
+        n_act, n_cri = len(act_flat), len(cri_flat)
+        n_l = n_act + n_cri
+        a_count, a_mu, a_nu = _adam_parts(act_opt)
+        c_count, c_mu, c_nu = _adam_parts(cri_opt)
+        mu_flat = jax.tree.leaves(a_mu) + jax.tree.leaves(c_mu)
+        nu_flat = jax.tree.leaves(a_nu) + jax.tree.leaves(c_nu)
+        p_flat = act_flat + cri_flat
+        shapes = [p.shape for p in p_flat]
+        p2 = [_to_kernel(p) for p in p_flat]
+        mu2 = [_to_kernel(p) for p in mu_flat]
+        nu2 = [_to_kernel(p) for p in nu_flat]
+
+        # per-iteration Adam bias corrections, optax's exact int-count pow
+        steps = jnp.arange(1, U + 1, dtype=jnp.float32)
+        bc = jnp.stack([
+            1.0 - jnp.power(b1, a_count.astype(jnp.float32) + steps),
+            1.0 - jnp.power(b2, a_count.astype(jnp.float32) + steps),
+            1.0 - jnp.power(b1, c_count.astype(jnp.float32) + steps),
+            1.0 - jnp.power(b2, c_count.astype(jnp.float32) + steps),
+        ], axis=1)                                           # (U, 4)
+
+        kernel = _make_kernel(U, B, S, A, n_act, n_cri, hp)
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        in_specs = ([vmem()] * 8
+                    + [pl.BlockSpec(memory_space=pltpu.SMEM)]   # bc table
+                    + [vmem()] * (3 * n_l))
+        out_specs = tuple([vmem()] * (3 * n_l + 1))
+        out_shape = tuple(
+            [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in p2] * 3
+            + [jax.ShapeDtypeStruct((U, 3), jnp.float32)])
+        outs = pl.pallas_call(
+            kernel,
+            in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(sb.reshape(U, S, B), ab.reshape(U, A, B), lpb.reshape(U, 1, B),
+          advb.reshape(U, 1, B), rsb.reshape(U, 1, B), umb.reshape(U, 1, B),
+          norm_avg.reshape(S, 1), norm_std.reshape(S, 1), bc,
+          *p2, *mu2, *nu2)
+
+        new_p = [_from_kernel(o, sh) for o, sh in zip(outs[:n_l], shapes)]
+        new_mu = [_from_kernel(o, sh)
+                  for o, sh in zip(outs[n_l:2 * n_l], shapes)]
+        new_nu = [_from_kernel(o, sh)
+                  for o, sh in zip(outs[2 * n_l:3 * n_l], shapes)]
+        objs = outs[3 * n_l]                                 # (U, 3)
+
+        new_act = jax.tree.unflatten(act_tdef, new_p[:n_act])
+        new_cri = jax.tree.unflatten(cri_tdef, new_p[n_act:])
+        new_act_opt = _with_adam_parts(
+            act_opt, a_count + U,
+            jax.tree.unflatten(act_tdef, new_mu[:n_act]),
+            jax.tree.unflatten(act_tdef, new_nu[:n_act]))
+        new_cri_opt = _with_adam_parts(
+            cri_opt, c_count + U,
+            jax.tree.unflatten(cri_tdef, new_mu[n_act:]),
+            jax.tree.unflatten(cri_tdef, new_nu[n_act:]))
+        metrics = {'obj_critic': jnp.mean(objs[:, 0]),
+                   'obj_actor': jnp.mean(objs[:, 1]),
+                   'obj_entropy': jnp.mean(objs[:, 2])}
+        return new_act, new_cri, new_act_opt, new_cri_opt, metrics
+
+    return fused

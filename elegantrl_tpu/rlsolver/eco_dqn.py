@@ -368,7 +368,7 @@ def _replay_push(rb: EcoReplay, s: EcoEnvState, action, reward, done,
         action=rb.action.at[idx].set(action),
         reward=rb.reward.at[idx].set(reward),
         done=rb.done.at[idx].set(done.astype(jnp.float32)),
-        ptr=rb.ptr + b,
+        ptr=(rb.ptr + b) % cap,  # int32 would wrap negative if unbounded
         size=jnp.minimum(rb.size + b, cap))
     return rb
 

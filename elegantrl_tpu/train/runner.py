@@ -91,7 +91,12 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
     with jax.random — deterministic given the key, same distributions as
     (but a different stream than) the scan path."""
     mode = getattr(args, 'use_pallas_rollout', 'auto')
-    if mode in (False, 'false', '0') or mesh is not None:
+    if mode in (False, 'false', '0'):
+        return None
+    if mesh is not None:
+        if mode is True:   # explicit request must not silently fall back
+            raise ValueError('use_pallas_rollout=True is single-chip only '
+                             '(mesh training uses the generic scan path)')
         return None
     interpret = (mode == 'interpret')
     spec = env.spec

@@ -147,6 +147,8 @@ def parse_device_trace(log_dir: str) -> Optional[Dict[str, object]]:
                 mod_tids.setdefault(e['pid'], set()).add(e['tid'])
     busy_ps, bytes_acc, flops = 0, 0.0, 0.0
     by_cat = collections.defaultdict(float)
+    by_op = collections.defaultdict(float)
+    op_count = collections.defaultdict(int)
     for e in data['traceEvents']:
         if e.get('ph') != 'X' or e.get('pid') not in dev_pids:
             continue
@@ -158,13 +160,20 @@ def parse_device_trace(log_dir: str) -> Optional[Dict[str, object]]:
             bytes_acc += float(args.get('raw_bytes_accessed',
                                         args.get('bytes_accessed', 0)))
             flops += float(args.get('model_flops', 0))
-            by_cat[args.get('hlo_category', '?')] += dur_ps * 1e-12
+            cat = args.get('hlo_category', '?')
+            by_cat[cat] += dur_ps * 1e-12
+            if cat != 'while':   # 'while' rows span their children
+                by_op[e.get('name', '?')] += dur_ps * 1e-12
+                op_count[e.get('name', '?')] += 1
     if busy_ps == 0:
         return None
+    top_ops = dict(sorted(by_op.items(), key=lambda kv: -kv[1]))
     return {'busy_s': busy_ps * 1e-12, 'bytes': bytes_acc, 'flops': flops,
             # NOTE: 'while' rows span their body ops (nested time)
             'seconds_by_category': dict(sorted(
-                by_cat.items(), key=lambda kv: -kv[1]))}
+                by_cat.items(), key=lambda kv: -kv[1])),
+            'seconds_by_op': top_ops,
+            'count_by_op': {k: op_count[k] for k in top_ops}}
 
 
 def sol_report(flops: float, hbm_bytes: float, seconds: float,

@@ -553,8 +553,10 @@ def _run_isaac_mock():
 def _run_sac_bipedal_host():
     """SAC on REAL Box2D BipedalWalker-v3 through host-rollout mode — the
     reference's plan_BipedalWalker-v3.py target_return=300 (:19), which its
-    own tree only plans; same generic recipe as the MuJoCo rows."""
-    return _run_sac_mujoco_host('BipedalWalker-v3', 310.0, int(2e6),
+    own tree only plans; same generic recipe as the MuJoCo rows.
+    break_score 301 sits just above the 300 row target: an earlier session
+    used 310, sustained avgR 302-310 for 300k steps and never stopped."""
+    return _run_sac_mujoco_host('BipedalWalker-v3', 301.0, int(2e6),
                                 resumable=True)
 
 

@@ -51,6 +51,14 @@ def setup():
                                      block=8, interpret=True)
     rollout, env_state2, obs2 = fast(s, env_state, obs,
                                      jax.random.PRNGKey(3))
+    # the fast path keeps the kernel-native transposed layout and flags it
+    assert 'tsn' in rollout.extras
+    assert rollout.states.shape == (H, 3, N)
+    assert rollout.actions.shape == (H, 1, N)
+    # un-transpose once here so the value/dynamics parity assertions below
+    # read the reference (H, N, dim) layout
+    rollout = rollout._replace(states=jnp.moveaxis(rollout.states, 1, 2),
+                               actions=jnp.moveaxis(rollout.actions, 1, 2))
     return s, env, env_state, obs, rollout, env_state2, obs2
 
 

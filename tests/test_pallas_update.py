@@ -1,0 +1,142 @@
+"""Parity tests for the fused whole-update Pallas kernel
+(``ops/pallas_update.py``) against the scan-path PPO update, run on CPU via
+the TPU interpreter.
+
+Both paths consume the SAME minibatch ids by construction (one key split,
+``sample_flat_ids`` per key), so the comparison is deterministic: same
+rollout + same agent state + same key must produce the same new params,
+Adam moments and metrics up to f32 reassociation.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from elegantrl_tpu.agents.base import collect_rollout
+from elegantrl_tpu.agents.ppo import make_ppo
+from elegantrl_tpu.config import Config
+from elegantrl_tpu.envs.pendulum import make_pendulum
+from elegantrl_tpu.ops.pallas_update import _adam_parts
+
+NET_DIMS = (16, 16)
+H, N, B = 32, 16, 128      # update_times = H * repeat / B = 2
+
+
+def _make_agent(mode):
+    args = Config()
+    args.net_dims = NET_DIMS
+    args.batch_size = B
+    args.repeat_times = 8.0
+    args.use_pallas_update = mode
+    return make_ppo(NET_DIMS, 3, 1, args)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    agent_ref = _make_agent(False)
+    agent_fused = _make_agent('interpret')
+    s = agent_ref.init(jax.random.PRNGKey(0))
+    s = s._replace(norm_avg=jnp.array([0.1, -0.2, 0.3]),
+                   norm_std=jnp.array([0.9, 1.1, 2.0]))
+
+    env = make_pendulum()
+    keys = jax.random.split(jax.random.PRNGKey(7), N)
+    env_state = jax.vmap(env.init)(keys)
+    env_state = env_state._replace(
+        t=(jnp.arange(N) * 23 % 200).astype(jnp.int32))
+    obs = jax.vmap(env.obs)(env_state)
+    rollout, env_state2, last_obs = collect_rollout(
+        env, s, agent_ref.explore_action, agent_ref.env_action,
+        env_state, obs, jax.random.PRNGKey(3), H, reward_scale=1.0,
+        extras_fn=agent_ref.rollout_extras)
+
+    k_upd = jax.random.PRNGKey(11)
+    s_ref, m_ref = jax.jit(agent_ref.update)(s, rollout, last_obs, k_upd)
+    s_fused, m_fused = jax.jit(agent_fused.update)(s, rollout, last_obs, k_upd)
+    return s, s_ref, m_ref, s_fused, m_fused
+
+
+def _leaf_pairs(t_ref, t_fused):
+    la, lb = jax.tree.leaves(t_ref), jax.tree.leaves(t_fused)
+    assert len(la) == len(lb)
+    return zip(la, lb)
+
+
+def test_params_match(setup):
+    s0, s_ref, _, s_fused, _ = setup
+    for old, a, b in zip(jax.tree.leaves((s0.act, s0.cri)),
+                         jax.tree.leaves((s_ref.act, s_ref.cri)),
+                         jax.tree.leaves((s_fused.act, s_fused.cri))):
+        # compare the UPDATES, not the params — params barely move per step
+        da, db = np.asarray(a - old), np.asarray(b - old)
+        np.testing.assert_allclose(db, da, rtol=5e-3, atol=1e-8)
+
+
+def test_adam_state_matches(setup):
+    s0, s_ref, _, s_fused, _ = setup
+    for opt_ref, opt_fused in ((s_ref.act_opt, s_fused.act_opt),
+                               (s_ref.cri_opt, s_fused.cri_opt)):
+        c_ref, mu_ref, nu_ref = _adam_parts(opt_ref)
+        c_fus, mu_fus, nu_fus = _adam_parts(opt_fused)
+        assert int(c_ref) == int(c_fus) == 2
+        for a, b in _leaf_pairs(mu_ref, mu_fus):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-3, atol=1e-9)
+        for a, b in _leaf_pairs(nu_ref, nu_fus):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-3, atol=1e-12)
+
+
+def test_metrics_match(setup):
+    _, _, m_ref, _, m_fused = setup
+    for k in ('obj_critic', 'obj_actor', 'obj_entropy'):
+        np.testing.assert_allclose(float(m_fused[k]), float(m_ref[k]),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_explicit_request_raises_on_ineligible():
+    args = Config()
+    args.net_dims = NET_DIMS
+    args.batch_size = 100          # not a multiple of 128
+    args.repeat_times = 8.0
+    args.use_pallas_update = True
+    agent = make_ppo(NET_DIMS, 3, 1, args)
+    env = make_pendulum()
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    env_state = jax.vmap(env.init)(keys)
+    obs = jax.vmap(env.obs)(env_state)
+    rollout, _, last_obs = collect_rollout(
+        env, agent.init(jax.random.PRNGKey(0)), agent.explore_action,
+        agent.env_action, env_state, obs, jax.random.PRNGKey(2), 8,
+        reward_scale=1.0, extras_fn=agent.rollout_extras)
+    with pytest.raises(ValueError, match='use_pallas_update=True'):
+        agent.update(agent.init(jax.random.PRNGKey(0)), rollout, last_obs,
+                     jax.random.PRNGKey(3))
+
+
+def test_runner_both_fast_paths(capsys):
+    """End-to-end: fused rollout AND fused update together in the runner
+    (interpret mode, CPU) — the flagship bench composition."""
+    from elegantrl_tpu.train.runner import build_training
+    from elegantrl_tpu.envs import PendulumEnv
+    from elegantrl_tpu.agents import AgentPPO
+
+    args = Config(agent_class=AgentPPO, env_class=PendulumEnv,
+                  env_args={'env_name': 'Pendulum-v1', 'num_envs': 16,
+                            'max_step': 200, 'state_dim': 3, 'action_dim': 1,
+                            'if_discrete': False})
+    args.horizon_len = 32
+    args.net_dims = (16, 16)
+    args.batch_size = 128
+    args.repeat_times = 8.0
+    args.use_pallas_rollout = 'interpret'
+    args.use_pallas_update = 'interpret'
+    ctx = build_training(args)
+    carry, metrics = jax.jit(ctx.round_fn)(ctx.carry, None)
+    assert np.isfinite(float(metrics['obj_critic']))
+    assert np.isfinite(float(metrics['obj_actor']))
+    # params actually moved
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        ctx.carry.agent_state.act, carry.agent_state.act)
+    assert max(jax.tree.leaves(moved)) > 0.0
