@@ -110,9 +110,15 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
         if mode in (False, 'false', '0'):
             return None
         interpret = (mode == 'interpret')
+        # batch cap: fwd+bwd activations are (hidden, B) x several live
+        # copies in VMEM; B=2048 compiles on v5e, 4096 does not (the remote
+        # Mosaic helper dies even with in-kernel lane-chunking).  Larger
+        # batches mean few updates per round anyway (update_times =
+        # H*repeat/B), so the scan path costs little there.
         eligible = (not (discrete or a2c or hterm)
                     and len(net_dims) == 2
                     and batch_size % 128 == 0
+                    and batch_size <= 2048
                     and compute_dtype is None)
         update_times = max(1, int(horizon_len * repeat_times / batch_size))
         n_params = (state_dim * net_dims[0] + net_dims[0]
@@ -126,9 +132,10 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
                 raise ValueError(
                     'use_pallas_update=True requires continuous (non-A2C, '
                     'non-H-term) 2-hidden-layer MLP PPO with batch_size a '
-                    'multiple of 128, f32 compute, and a VMEM-sized '
-                    f'minibatch block (got batch_size={batch_size}, '
-                    f'net_dims={net_dims}, update_times={update_times})')
+                    'multiple of 128 and <= 2048, f32 compute, and a '
+                    'VMEM-sized minibatch block (got batch_size='
+                    f'{batch_size}, net_dims={net_dims}, '
+                    f'update_times={update_times})')
             return None
         if not interpret and jax.devices()[0].platform != 'tpu':
             if mode is True:
@@ -323,7 +330,9 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
                 ids0, ids1 = sample_flat_ids(key_t, horizon_len, num_envs, batch_size)
                 if tsn:  # transposed (H, S, N) layout from the fast rollout
                     state = states[ids0, :, ids1]
-                    action = actions[ids0, :, ids1]
+                    # discrete actions carry no feature axis: (H, N) int32
+                    action = (actions[ids0, ids1] if discrete
+                              else actions[ids0, :, ids1])
                 else:
                     state = states[ids0, ids1]
                     action = actions[ids0, ids1]

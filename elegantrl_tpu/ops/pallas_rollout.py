@@ -1,4 +1,4 @@
-"""Fused whole-rollout Pallas kernel: MLP actor/critic + Pendulum dynamics.
+"""Fused whole-rollout Pallas kernel: MLP actor/critic + inlined env step.
 
 Why this exists: the profiler-measured account of the flagship bench config
 (scripts/profile_sol.py) shows the fused PPO round is OP-LAUNCH-LATENCY
@@ -11,42 +11,55 @@ that keeps the policy weights and the env state resident in VMEM and runs
 the entire horizon in a ``fori_loop``, touching HBM only to write the
 (H, ...) rollout tensors — the irreducible traffic.
 
-Scope: this is the fast path for the reference's canonical demo workload
-(``/root/reference/examples/demo_A2C_PPO.py`` — PPO on Pendulum) with the
-default 2-hidden-layer MLP; the generic ``agents/base.py:collect_rollout``
+Scope: PPO (Gaussian head) and DiscretePPO (categorical head) with the
+default 2-hidden-layer MLP, over any env with a registered KERNEL ENV BODY
+— a pure elementwise step function the kernel inlines.  Registered bodies:
+Pendulum-v1, CartPole-v1, HopperSlip-v0 (envs/pendulum.py, envs/cartpole.py,
+envs/hopper.py re-stated in transposed row form; exact-math parity tested in
+tests/test_pallas_rollout.py).  The generic ``agents/base.py:collect_rollout``
 scan remains the general path (the runner auto-selects, train/runner.py).
 
 Layout: everything transposed — activations are (features, envs) so the
 env axis rides the 128-wide lane dimension and feature dims sit on
-sublanes; MLP layers are ``W^T @ x`` matmuls on the MXU.  Outputs are
-written time-major-transposed ((H, S, B) / (H, B)) and un-transposed by the
-thin wrapper (one cheap data-formatting op each, outside the hot loop).
+sublanes; MLP layers are ``W^T @ x`` matmuls on the MXU.  Env state lives
+as (rows, B) f32 + (rows, B) i32 blocks.  Outputs stay in the kernel-native
+time-major-transposed layout ((H, S, B) / (H, B)) all the way into the PPO
+update (the 'tsn' extras marker; agents/ppo.py gathers minibatches from
+either layout) — un-transposing them cost a measured ~210 us/round.
 
-RNG: the exploration normals and reset uniforms are drawn OUTSIDE the
-kernel with ``jax.random`` (one fused threefry op over the whole
-(H, rows, num_envs) tensor — cheap, batched) and streamed into VMEM as a
-regular input.  This keeps the fast path deterministic given the key,
-testable in the CPU interpreter (whose ``pltpu.prng_random_bits`` is a
-constant stub), and distribution-identical to the scan path; the streams
-still differ from the scan path's per-step key splits, so the two paths
-are not bitwise-identical runs (exact-math parity is verified instead in
-tests/test_pallas_rollout.py).  Input traffic cost: (A+2)/8 of the output
-bytes — negligible next to the op-launch latency being eliminated.
+Long horizons: the grid is (env_blocks, time_chunks) with the env state
+carried across time chunks in VMEM scratch (chunks iterate innermost, so
+the per-block state survives; chunk 0 loads it from the inputs, the last
+chunk stores it to the outputs).  Each chunk writes its (CH, ..., B) slice
+of the rollout tensors to HBM, so VMEM residency is bounded by the CHUNK
+length, not the horizon — the reference-demo-shaped horizon-2048 config
+(cfg2) rides the same kernel.
+
+RNG: exploration noise and reset uniforms are drawn with the TPU core's
+native PRNG (``pltpu.prng_random_bits`` seeded from the caller's key and
+the block id, normals via Box-Muller, Gumbel-max for categorical sampling)
+— deterministic given the key, distribution-identical to (but a different
+stream than) the scan path's ``jax.random`` draws.  The CPU interpreter's
+``prng_random_bits`` is a constant stub, so interpret mode streams
+host-drawn noise in as a regular input instead; parity tests recompute
+every stored quantity from the kernel's own stored states/actions, and the
+TPU-only statistical test checks the internal draws.
 
 Behavioral contract matched (exact math, tested):
-- stored states/actions/logprobs/values/rewards/unmasks exactly as
-  ``collect_rollout`` + ``envs/pendulum.py`` + ``agents/ppo.py`` produce
-  them (reference AgentBase.py:130-170 buffer-item contract);
-- Pendulum dynamics per envs/pendulum.py:55-71 (g=10 m=1 l=1 dt=0.05,
-  action x2 torque wrap, reward x0.5, 200-step truncation, never
-  terminates), masked auto-reset per envs/base.py:vec_step.
+- stored states/actions/logprobs/values/rewards/undones/unmasks exactly as
+  ``collect_rollout`` + the env module + ``agents/ppo.py`` produce them
+  (reference AgentBase.py:130-170 buffer-item contract);
+- masked auto-reset on terminal|truncate per envs/base.py:vec_step;
+- quantize-before-act under bf16 storage (agents/base.py contract: the
+  stored state, the acting input and the update-time re-eval see
+  bit-identical values so the first-epoch PPO ratio is exactly 1).
 """
 
 from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +77,28 @@ def _wrap_angle(x):
     return y - jnp.floor(y / _TWO_PI) * _TWO_PI - math.pi
 
 
+_ATAN_C = (9.9999990555e-01, -3.3332657853e-01, 1.9986537489e-01,
+           -1.4164333375e-01, 1.0507319787e-01, -7.2479506621e-02,
+           3.9899560039e-02, -1.4458697067e-02, 2.4682466247e-03)
+
+
+def _atan2(y, x):
+    """atan2 from an odd minimax polynomial (f32 max abs err ~1.2e-7 —
+    one ulp): Mosaic has no atan/atan2 lowering, so the hopper body builds
+    it from mul/add/select.  Range reduction: atan(t)=pi/2-atan(1/t) for
+    |t|>1; quadrants from the signs."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    t = jnp.minimum(ax, ay) / jnp.maximum(jnp.maximum(ax, ay), 1e-30)
+    t2 = t * t
+    p = jnp.full_like(t, _ATAN_C[-1])
+    for c in _ATAN_C[-2::-1]:
+        p = p * t2 + c
+    r = p * t
+    r = jnp.where(ay > ax, 0.5 * math.pi - r, r)   # undo the 1/t reduction
+    r = jnp.where(x < 0, math.pi - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
 def _uniform_from_bits(bits):
     """Random bits -> f32 uniforms in [0, 1): (bits & 0xFFFFFF) * 2^-24.
     ``prng_random_bits`` yields int32 and Mosaic can't cast uint32->f32, so
@@ -72,50 +107,271 @@ def _uniform_from_bits(bits):
     return (bits & 0xFFFFFF).astype(jnp.float32) * (2.0 ** -24)
 
 
-def _make_kernel(horizon_len: int, block: int, action_dim: int,
-                 reward_scale: float, quantize: bool = False,
-                 internal_rng: bool = False):
-    """``quantize``: round obs to bf16 BEFORE the policy acts, matching
-    ``collect_rollout``'s quantize-before-act contract (agents/base.py):
-    the stored state, the acting input and the update-time re-eval must all
-    see bit-identical values so the first-epoch PPO ratio is exactly 1.
+class KernelEnvBody(NamedTuple):
+    """An env inlineable into the fused rollout kernel.
 
-    ``internal_rng``: draw the exploration normals and reset uniforms with
-    the TPU core's native PRNG (``pltpu.prng_random_bits`` seeded from the
-    caller's key + program_id, normals via Box-Muller) instead of streaming
-    a host-threefry noise tensor in.  Distribution-identical, different
-    stream; removes the ~116 us/round of threefry fusions the profiler
-    measured on the flagship config AND the (H, A+2, B) VMEM noise input.
-    The interpreter's ``prng_random_bits`` is a constant stub, so interpret
-    mode keeps the external path (tests/test_pallas_rollout.py checks the
-    external math; the TPU-only statistical test checks the internal draw).
+    All row tensors are (rows, B) f32 / i32 with the env axis on lanes.
+    ``step`` must NOT auto-reset; ``reset`` applies the masked re-init.
+    The math must match the env module's ``(init, obs, step)`` exactly
+    (parity-tested against ``vec_step``).
     """
-    H, B, A = horizon_len, block, action_dim
+    env_name: str
+    state_dim: int
+    action_dim: int          # env action dim (continuous) or n_actions
+    n_f32: int               # f32 state rows
+    n_i32: int               # i32 state rows (step counters etc.)
+    n_reset: int             # uniforms consumed by reset
+    pack: Callable           # env_state pytree -> (f32 (n_f32, N), i32)
+    unpack: Callable         # (f32, i32) -> env_state pytree
+    obs: Callable            # (f32, i32) -> (S, B)
+    step: Callable           # (f32, i32, env_action, ) -> (f32', i32',
+    #                          reward (1,B), terminal (1,B) bool,
+    #                          truncate (1,B) bool)
+    reset: Callable          # (f32', i32', u (n_reset, B), done) -> masked
+
+
+# ---------------------------------------------------------------- Pendulum
+
+def _pend_pack(s):
+    return (jnp.stack([s.theta, s.theta_dot]), s.t.reshape(1, -1))
+
+
+def _pend_unpack(f, i, proto):
+    return type(proto)(theta=f[0], theta_dot=f[1], t=i[0])
+
+
+def _pend_obs(f, i):
+    th, thdot = f[0:1], f[1:2]
+    return jnp.concatenate([jnp.cos(th), jnp.sin(th), thdot], axis=0)
+
+
+def _pend_step(f, i, a):
+    """envs/pendulum.py:55-71: g=10 m=1 l=1 dt=0.05, action x2 torque wrap,
+    reward x0.5, 200-step truncation, never terminates."""
+    th, thdot = f[0:1], f[1:2]
+    u_trq = jnp.clip(a[0:1] * 2.0, -2.0, 2.0)
+    cost = (jnp.square(_wrap_angle(th)) + 0.1 * jnp.square(thdot)
+            + 0.001 * jnp.square(u_trq))
+    reward = -0.5 * cost
+    thdot2 = jnp.clip(thdot + (15.0 * jnp.sin(th) + 3.0 * u_trq) * 0.05,
+                      -8.0, 8.0)
+    th2 = th + thdot2 * 0.05
+    tc2 = i[0:1] + 1
+    trunc = tc2 >= 200
+    return (jnp.concatenate([th2, thdot2], axis=0), tc2, reward,
+            jnp.zeros_like(trunc), trunc)
+
+
+def _pend_reset(f, i, u, done):
+    th = jnp.where(done, -math.pi + _TWO_PI * u[0:1], f[0:1])
+    thdot = jnp.where(done, -1.0 + 2.0 * u[1:2], f[1:2])
+    tc = jnp.where(done, 0, i[0:1])
+    return jnp.concatenate([th, thdot], axis=0), tc
+
+
+PENDULUM_BODY = KernelEnvBody(
+    env_name='Pendulum-v1', state_dim=3, action_dim=1, n_f32=2, n_i32=1,
+    n_reset=2, pack=_pend_pack, unpack=_pend_unpack, obs=_pend_obs,
+    step=_pend_step, reset=_pend_reset)
+
+
+# ---------------------------------------------------------------- CartPole
+
+def _cp_pack(s):
+    return (jnp.stack([s.x, s.x_dot, s.theta, s.theta_dot]),
+            s.t.reshape(1, -1))
+
+
+def _cp_unpack(f, i, proto):
+    return type(proto)(x=f[0], x_dot=f[1], theta=f[2], theta_dot=f[3],
+                       t=i[0])
+
+
+def _cp_obs(f, i):
+    return f  # obs IS the 4 state rows
+
+
+_CP_THETA_LIMIT = 12.0 * 2.0 * math.pi / 360.0
+
+
+def _cp_step(f, i, a):
+    """envs/cartpole.py:56-75: Euler dt=0.02, force +-10 N, terminal on
+    |x|>2.4 or |theta|>12deg, truncate at 500, reward 1."""
+    x, x_dot, theta, theta_dot = f[0:1], f[1:2], f[2:3], f[3:4]
+    force = jnp.where(a[0:1] > 0.5, 10.0, -10.0)   # action row carries 0/1
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    temp = (force + 0.05 * jnp.square(theta_dot) * sin_t) / 1.1
+    theta_acc = (9.8 * sin_t - cos_t * temp) / (
+        0.5 * (4.0 / 3.0 - 0.1 * jnp.square(cos_t) / 1.1))
+    x_acc = temp - 0.05 * theta_acc * cos_t / 1.1
+    x2 = x + 0.02 * x_dot
+    x_dot2 = x_dot + 0.02 * x_acc
+    theta2 = theta + 0.02 * theta_dot
+    theta_dot2 = theta_dot + 0.02 * theta_acc
+    t2 = i[0:1] + 1
+    terminal = (jnp.abs(x2) > 2.4) | (jnp.abs(theta2) > _CP_THETA_LIMIT)
+    trunc = (t2 >= 500) & jnp.logical_not(terminal)
+    reward = jnp.ones_like(x2)
+    return (jnp.concatenate([x2, x_dot2, theta2, theta_dot2], axis=0), t2,
+            reward, terminal, trunc)
+
+
+def _cp_reset(f, i, u, done):
+    fresh = -0.05 + 0.1 * u                        # 4 rows in [-0.05, 0.05)
+    f2 = jnp.where(done, fresh, f)
+    t2 = jnp.where(done, 0, i[0:1])
+    return f2, t2
+
+
+CARTPOLE_BODY = KernelEnvBody(
+    env_name='CartPole-v1', state_dim=4, action_dim=2, n_f32=4, n_i32=1,
+    n_reset=4, pack=_cp_pack, unpack=_cp_unpack, obs=_cp_obs,
+    step=_cp_step, reset=_cp_reset)
+
+
+# ---------------------------------------------------------------- Hopper
+
+def _hop_pack(s):
+    return (jnp.stack([s.x, s.z, s.vx, s.vz, s.leg_angle, s.leg_len,
+                       s.foot_x, s.stance.astype(jnp.float32)]),
+            s.t.reshape(1, -1))
+
+
+def _hop_unpack(f, i, proto):
+    return type(proto)(x=f[0], z=f[1], vx=f[2], vz=f[3], leg_angle=f[4],
+                       leg_len=f[5], foot_x=f[6], stance=f[7] > 0.5,
+                       t=i[0])
+
+
+def _hop_obs(f, i):
+    return jnp.concatenate([f[1:2], f[2:3], f[3:4], f[4:5],
+                            f[5:6] / 0.55, f[7:8]], axis=0)
+
+
+def _hop_step(f, i, a):
+    """envs/hopper.py:68-113 (SLIP): the lax.cond(stance, ...) branches are
+    evaluated on all lanes and blended with where — identical math to what
+    XLA's vmap-of-cond lowers to."""
+    x, z, vx, vz = f[0:1], f[1:2], f[2:3], f[3:4]
+    leg_angle, leg_len, foot_x, stance = f[4:5], f[5:6], f[6:7], f[7:8]
+    target_angle = jnp.clip(a[0:1], -1.0, 1.0) * 0.5
+    thrust = jnp.clip(a[1:2], -1.0, 1.0) * 0.5 + 0.5
+    DT, G, LEG, K, THR = 0.01, 9.8, 0.55, 300.0, 60.0
+
+    # flight branch
+    fl_angle = leg_angle + 10.0 * (target_angle - leg_angle) * DT
+    fl_vz = vz - G * DT
+    fl_z = z + fl_vz * DT
+    fl_x = x + vx * DT
+    foot_z = fl_z - LEG * jnp.cos(fl_angle)
+    touchdown = (foot_z <= 0.0) & (fl_vz < 0)
+    fl_foot_x = jnp.where(touchdown, fl_x + LEG * jnp.sin(fl_angle), foot_x)
+
+    # stance branch
+    dx = x - foot_x
+    st_len = jnp.sqrt(dx * dx + z * z)
+    compress = jnp.maximum(LEG - st_len, 0.0)
+    force = K * compress + THR * thrust
+    ux, uz = dx / (st_len + 1e-6), z / (st_len + 1e-6)
+    st_vx = vx + force * ux * DT
+    st_vz = vz + (force * uz - G) * DT
+    st_x = x + st_vx * DT
+    st_z = z + st_vz * DT
+    new_len = jnp.sqrt(jnp.square(st_x - foot_x) + jnp.square(st_z))
+    liftoff = (new_len >= LEG) & (st_vz > 0)
+    st_angle = _atan2(st_x - foot_x, st_z)
+
+    in_st = stance > 0.5
+    x2 = jnp.where(in_st, st_x, fl_x)
+    z2 = jnp.where(in_st, st_z, fl_z)
+    vx2 = jnp.where(in_st, st_vx, vx)
+    vz2 = jnp.where(in_st, st_vz, fl_vz)
+    angle2 = jnp.where(in_st, st_angle, fl_angle)
+    len2 = jnp.where(in_st, new_len, LEG)
+    foot2 = jnp.where(in_st, foot_x, fl_foot_x)
+    # float-branch select: a where with BOOLEAN branches crashes the Mosaic
+    # compile helper (minimal repro: where(a, !b, c) on i1 vectors)
+    stance2 = jnp.where(in_st,
+                        1.0 - liftoff.astype(jnp.float32),
+                        touchdown.astype(jnp.float32))
+    t2 = i[0:1] + 1
+    reward = vx2 + 0.5 - 0.05 * (jnp.square(a[0:1]) + jnp.square(a[1:2]))
+    terminal = z2 < 0.25
+    trunc = (t2 >= 1000) & jnp.logical_not(terminal)
+    f2 = jnp.concatenate([x2, z2, vx2, vz2, angle2, len2, foot2, stance2],
+                         axis=0)
+    return f2, t2, reward, terminal, trunc
+
+
+def _hop_reset(f, i, u, done):
+    """envs/hopper.py:_init: z ~ 0.9 +- 0.05, vx ~ +-0.1, rest zero."""
+    z0 = 0.9 + (-0.05 + 0.1 * u[0:1])
+    vx0 = -0.1 + 0.2 * u[1:2]
+    zero = jnp.zeros_like(z0)
+    fresh = jnp.concatenate([zero, z0, vx0, zero, zero,
+                             jnp.full_like(z0, 0.55), zero, zero], axis=0)
+    f2 = jnp.where(done, fresh, f)
+    t2 = jnp.where(done, 0, i[0:1])
+    return f2, t2
+
+
+HOPPER_BODY = KernelEnvBody(
+    env_name='HopperSlip-v0', state_dim=6, action_dim=2, n_f32=8, n_i32=1,
+    n_reset=2, pack=_hop_pack, unpack=_hop_unpack, obs=_hop_obs,
+    step=_hop_step, reset=_hop_reset)
+
+
+KERNEL_ENV_BODIES = {b.env_name: b for b in
+                     (PENDULUM_BODY, CARTPOLE_BODY, HOPPER_BODY)}
+
+
+# ------------------------------------------------------------- the kernel
+
+def _make_kernel(body: KernelEnvBody, chunk: int, n_chunks: int, block: int,
+                 reward_scale: float, discrete: bool,
+                 quantize: bool = False, internal_rng: bool = False):
+    CH, B = chunk, block
+    S, A = body.state_dim, body.action_dim
+    # random rows per step: internal draws uniforms (2A for Box-Muller when
+    # continuous); the external/interpret path streams normals directly (A)
+    NZ = ((A if discrete else 2 * A) + body.n_reset if internal_rng
+          else A + body.n_reset)
 
     def kernel(*refs):
         if internal_rng:
-            (th_ref, thdot_ref, tc_ref, seed_ref,
+            (f_ref, i_ref, seed_ref,
              avg_ref, nstd_ref,
              w1_ref, b1_ref, w2_ref, b2_ref, wa_ref, ba_ref,
              c1_ref, cb1_ref, c2_ref, cb2_ref, cv_ref, cbv_ref,
              std_ref,
-             states_o, actions_o, logp_o, rew_o, trunc_o, val_o,
-             th_o, thdot_o, tc_o) = refs
+             states_o, actions_o, logp_o, rew_o, term_o, trunc_o, val_o,
+             f_o, i_o, f_s, i_s) = refs
             noise_ref = None
-            # prng_seed takes at most 2 words: mix the grid block id into
-            # word 0 with a golden-ratio odd constant (int32 wrap is fine)
-            pltpu.prng_seed(
-                seed_ref[0] + pl.program_id(0) * (-1640531527),
-                seed_ref[1])
         else:
-            (th_ref, thdot_ref, tc_ref,
-             noise_ref,                    # (H, A+2, B) f32: z + 2 resets
+            (f_ref, i_ref,
+             noise_ref,                  # (CH, NZ, B) uniforms/normals
              avg_ref, nstd_ref,
              w1_ref, b1_ref, w2_ref, b2_ref, wa_ref, ba_ref,
              c1_ref, cb1_ref, c2_ref, cb2_ref, cv_ref, cbv_ref,
              std_ref,
-             states_o, actions_o, logp_o, rew_o, trunc_o, val_o,
-             th_o, thdot_o, tc_o) = refs
+             states_o, actions_o, logp_o, rew_o, term_o, trunc_o, val_o,
+             f_o, i_o, f_s, i_s) = refs
+        c = pl.program_id(1)
+        if internal_rng:
+            # one seed per (key, block): mix the block id into word 0 with a
+            # golden-ratio odd constant; re-seeding identically each chunk
+            # would repeat the stream, so skip the chunk's worth of draws by
+            # folding the chunk id in too (prng_seed takes max 2 words)
+            pltpu.prng_seed(
+                seed_ref[0] + pl.program_id(0) * (-1640531527)
+                + c * 1013904223,
+                seed_ref[1])
+
+        @pl.when(c == 0)
+        def _load():
+            f_s[:] = f_ref[:]
+            i_s[:] = i_ref[:]
+
         avg = avg_ref[:]
         nstd = nstd_ref[:] + 1e-4
         w1, b1 = w1_ref[:], b1_ref[:]
@@ -124,172 +380,201 @@ def _make_kernel(horizon_len: int, block: int, action_dim: int,
         c1, cb1 = c1_ref[:], cb1_ref[:]
         c2, cb2 = c2_ref[:], cb2_ref[:]
         cv, cbv = cv_ref[:], cbv_ref[:]
-        std = std_ref[:]
-        log_std = jnp.log(std)
+        if not discrete:
+            std = std_ref[:]
+            log_std = jnp.log(std)
 
-        def body(t, carry):
-            th, thdot, tc = carry                          # (1,B)x2 f32, i32
-            costh, sinth = jnp.cos(th), jnp.sin(th)
-            x = jnp.concatenate([costh, sinth, thdot], axis=0)   # (S, B)
-            if quantize:  # storage-precision round BEFORE acting (see above)
+        def mlp(wb1, bb1, wb2, bb2, wo, bo, xn):
+            h = jax.nn.gelu(
+                jnp.dot(wb1, xn, preferred_element_type=jnp.float32) + bb1)
+            h = jax.nn.gelu(
+                jnp.dot(wb2, h, preferred_element_type=jnp.float32) + bb2)
+            return jnp.dot(wo, h, preferred_element_type=jnp.float32) + bo
+
+        def step(t, carry):
+            f, i = carry                                   # state rows
+            x = body.obs(f, i)                             # (S, B)
+            if quantize:  # storage-precision round BEFORE acting
                 x = x.astype(jnp.bfloat16).astype(jnp.float32)
-            states_o[pl.ds(t, 1)] = x[None]                # stored obs
+            states_o[pl.ds(t, 1)] = x[None]
             xn = (x - avg) / nstd
-            # actor MLP (gelu hidden, raw head) == ops/nets.py:mlp_apply
-            h = jax.nn.gelu(
-                jnp.dot(w1, xn, preferred_element_type=jnp.float32) + b1)
-            h = jax.nn.gelu(
-                jnp.dot(w2, h, preferred_element_type=jnp.float32) + b2)
-            mean = jnp.dot(wa, h, preferred_element_type=jnp.float32) + ba
-            # critic (shared state norm) — the in-scan value eval
-            hc = jax.nn.gelu(
-                jnp.dot(c1, xn, preferred_element_type=jnp.float32) + cb1)
-            hc = jax.nn.gelu(
-                jnp.dot(c2, hc, preferred_element_type=jnp.float32) + cb2)
-            v = jnp.dot(cv, hc, preferred_element_type=jnp.float32) + cbv
+            out = mlp(w1, b1, w2, b2, wa, ba, xn)          # (A, B)
+            v = mlp(c1, cb1, c2, cb2, cv, cbv, xn)         # (1, B)
             val_o[pl.ds(t, 1)] = v
             if internal_rng:
-                # native PRNG: 2A uniforms -> A Box-Muller normals, + 2
-                # reset uniforms.  log(1-u) is safe: u in [0, 1-2^-24].
-                ub = _uniform_from_bits(
-                    pltpu.prng_random_bits((2 * A + 2, B)))
-                z = jnp.sqrt(-2.0 * jnp.log(1.0 - ub[0:A])) * jnp.cos(
-                    _TWO_PI * ub[A:2 * A])
-                u = ub[2 * A:2 * A + 2]
+                u_all = _uniform_from_bits(pltpu.prng_random_bits((NZ, B)))
             else:
-                # host-drawn noise rows: A normals + 2 uniforms
-                nz = noise_ref[pl.ds(t, 1)].reshape(A + 2, B)
-                z, u = nz[0:A], nz[A:A + 2]
-            action = mean + std * z                        # (A, B)
-            actions_o[pl.ds(t, 1)] = action[None]
-            logp = jnp.sum(-0.5 * jnp.square(z) - log_std - _LOG_SQRT_2PI,
-                           axis=0, keepdims=True)          # (1, B)
+                u_all = noise_ref[pl.ds(t, 1)].reshape(NZ, B)
+            if discrete:
+                # Gumbel-max categorical sample (== jax.random.categorical
+                # up to the stream); logp = logits[a] - logsumexp(logits)
+                g = -jnp.log(-jnp.log(
+                    jnp.maximum(u_all[0:A], 1e-12)) + 1e-12)
+                perturbed = out + g
+                action = jnp.argmax(perturbed, axis=0)[None].astype(jnp.int32)
+                onehot = (jax.lax.broadcasted_iota(jnp.int32, (A, B), 0)
+                          == action).astype(jnp.float32)
+                m = jnp.max(out, axis=0, keepdims=True)
+                lse = m + jnp.log(jnp.sum(jnp.exp(out - m), axis=0,
+                                          keepdims=True))
+                logp = jnp.sum(out * onehot, axis=0, keepdims=True) - lse
+                actions_o[pl.ds(t, 1)] = action            # (1, B) int32
+                env_a = action.astype(jnp.float32)         # (1, B) 0/1 row
+                u_reset = u_all[A:A + body.n_reset]
+            else:
+                if internal_rng:   # Box-Muller: 2A uniforms -> A normals
+                    z = jnp.sqrt(-2.0 * jnp.log(1.0 - u_all[0:A])) * jnp.cos(
+                        _TWO_PI * u_all[A:2 * A])
+                    u_reset = u_all[2 * A:]
+                else:              # host-drawn normals streamed in directly
+                    z = u_all[0:A]
+                    u_reset = u_all[A:A + body.n_reset]
+                action = out + std * z                     # raw stored action
+                actions_o[pl.ds(t, 1)] = action[None]
+                logp = jnp.sum(-0.5 * jnp.square(z) - log_std
+                               - _LOG_SQRT_2PI, axis=0, keepdims=True)
+                env_a = jnp.tanh(action)                   # agents/ppo.py
             logp_o[pl.ds(t, 1)] = logp
-            # Pendulum step (envs/pendulum.py:55-71); env action = tanh
-            u_trq = jnp.clip(jnp.tanh(action[0:1]) * 2.0, -2.0, 2.0)
-            cost = (jnp.square(_wrap_angle(th)) + 0.1 * jnp.square(thdot)
-                    + 0.001 * jnp.square(u_trq))
-            rew_o[pl.ds(t, 1)] = -0.5 * cost * reward_scale
-            thdot2 = jnp.clip(
-                thdot + (15.0 * sinth + 3.0 * u_trq) * 0.05, -8.0, 8.0)
-            th2 = th + thdot2 * 0.05
-            tc2 = tc + 1
-            trunc = tc2 >= 200
+            f2, i2, reward, terminal, trunc = body.step(f, i, env_a)
+            rew_o[pl.ds(t, 1)] = reward * reward_scale
+            term_o[pl.ds(t, 1)] = terminal.astype(jnp.float32)
             trunc_o[pl.ds(t, 1)] = trunc.astype(jnp.float32)
-            # masked auto-reset (envs/base.py:vec_step)
-            th2 = jnp.where(trunc, -math.pi + _TWO_PI * u[0:1], th2)
-            thdot2 = jnp.where(trunc, -1.0 + 2.0 * u[1:2], thdot2)
-            tc2 = jnp.where(trunc, 0, tc2)
-            return th2, thdot2, tc2
+            done = terminal | trunc
+            f2, i2 = body.reset(f2, i2, u_reset, done)
+            return f2, i2
 
-        th, thdot, tc = jax.lax.fori_loop(
-            0, H, body, (th_ref[:], thdot_ref[:], tc_ref[:]))
-        th_o[:], thdot_o[:], tc_o[:] = th, thdot, tc
+        f, i = jax.lax.fori_loop(0, CH, step, (f_s[:], i_s[:]))
+        f_s[:], i_s[:] = f, i
+
+        @pl.when(c == n_chunks - 1)
+        def _store():
+            f_o[:] = f_s[:]
+            i_o[:] = i_s[:]
 
     return kernel
 
 
-def make_pendulum_ppo_rollout(net_dims, horizon_len: int, num_envs: int,
-                              reward_scale: float, store_dtype=None,
-                              block: int = 1024, interpret: bool = False):
+def make_fused_rollout(body: KernelEnvBody, net_dims, horizon_len: int,
+                       num_envs: int, reward_scale: float, discrete: bool,
+                       store_dtype=None, block: int = 1024,
+                       chunk: int = None, interpret: bool = False):
     """Build ``rollout_fn(agent_state, env_state, obs, key) ->
     (Rollout, env_state', obs')`` — the drop-in fast path for
-    ``collect_rollout`` on (PPO Gaussian-MLP x Pendulum)."""
+    ``collect_rollout`` on (PPO x registered env body)."""
     from ..agents.base import Rollout
 
     D1, D2 = (int(d) for d in net_dims)
-    S, A = 3, 1
+    S, A = body.state_dim, body.action_dim
+    F, I = body.n_f32, body.n_i32
     B = min(block, num_envs)
-    if num_envs % B:   # uneven env count: leave the generic path to handle it
+    if num_envs % B:
         raise ValueError(f"num_envs={num_envs} not divisible by block={B}")
-    grid = (num_envs // B,)
     H = int(horizon_len)
+    CH = int(chunk or H)
+    if H % CH:
+        raise ValueError(f"horizon_len={H} not divisible by chunk={CH}")
+    n_chunks = H // CH
     if store_dtype is not None and store_dtype != jnp.bfloat16:
         raise ValueError(f'unsupported store_dtype {store_dtype} for the '
                          'fused rollout kernel (only bfloat16 / None)')
     internal_rng = not interpret   # interpreter's prng_random_bits is a stub
-    kernel = _make_kernel(H, B, A, float(reward_scale),
-                          quantize=store_dtype is not None,
+    NZ = A + body.n_reset          # external-noise rows (normals direct)
+    kernel = _make_kernel(body, CH, n_chunks, B, float(reward_scale),
+                          discrete, quantize=store_dtype is not None,
                           internal_rng=internal_rng)
 
-    env_spec = pl.BlockSpec((1, B), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
+    env_f_spec = pl.BlockSpec((F, B), lambda b, c: (0, b),
+                              memory_space=pltpu.VMEM)
+    env_i_spec = pl.BlockSpec((I, B), lambda b, c: (0, b),
+                              memory_space=pltpu.VMEM)
 
     def full(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+        return pl.BlockSpec(shape, lambda b, c: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
     if internal_rng:
         noise_spec = [pl.BlockSpec(memory_space=pltpu.SMEM)]   # (2,) seed
     else:
-        noise_spec = [pl.BlockSpec((H, A + 2, B), lambda i: (0, 0, i),
-                                   memory_space=pltpu.VMEM)]   # noise tensor
+        noise_spec = [pl.BlockSpec((CH, NZ, B), lambda b, c: (c, 0, b),
+                                   memory_space=pltpu.VMEM)]
     in_specs = [
-        env_spec, env_spec, env_spec,                 # th, thdot, tc
+        env_f_spec, env_i_spec,
         *noise_spec,
         full((S, 1)), full((S, 1)),                   # avg, nstd
         full((D1, S)), full((D1, 1)), full((D2, D1)), full((D2, 1)),
         full((A, D2)), full((A, 1)),
         full((D1, S)), full((D1, 1)), full((D2, D1)), full((D2, 1)),
         full((1, D2)), full((1, 1)),
-        full((A, 1)),                                 # std
+        full((A, 1)),                                 # std (unused if discrete)
     ]
-    hb_spec = pl.BlockSpec((H, B), lambda i: (0, i),
+    hb_spec = pl.BlockSpec((CH, B), lambda b, c: (c, b),
                            memory_space=pltpu.VMEM)
+    act_dtype = jnp.int32 if discrete else jnp.float32
+    act_shape = ((H, num_envs) if discrete else (H, A, num_envs))
+    act_spec = (hb_spec if discrete else
+                pl.BlockSpec((CH, A, B), lambda b, c: (c, 0, b),
+                             memory_space=pltpu.VMEM))
     out_specs = (
-        pl.BlockSpec((H, S, B), lambda i: (0, 0, i),
+        pl.BlockSpec((CH, S, B), lambda b, c: (c, 0, b),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((H, A, B), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
-        hb_spec, hb_spec, hb_spec, hb_spec,
-        env_spec, env_spec, env_spec,
+        act_spec,
+        hb_spec, hb_spec, hb_spec, hb_spec, hb_spec,
+        env_f_spec, env_i_spec,
     )
     out_shape = (
         jax.ShapeDtypeStruct((H, S, num_envs), jnp.float32),
-        jax.ShapeDtypeStruct((H, A, num_envs), jnp.float32),
+        jax.ShapeDtypeStruct(act_shape, act_dtype),
         jax.ShapeDtypeStruct((H, num_envs), jnp.float32),   # logprobs
         jax.ShapeDtypeStruct((H, num_envs), jnp.float32),   # rewards
+        jax.ShapeDtypeStruct((H, num_envs), jnp.float32),   # terminals
         jax.ShapeDtypeStruct((H, num_envs), jnp.float32),   # truncates
         jax.ShapeDtypeStruct((H, num_envs), jnp.float32),   # values
-        jax.ShapeDtypeStruct((1, num_envs), jnp.float32),
-        jax.ShapeDtypeStruct((1, num_envs), jnp.float32),
-        jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
+        jax.ShapeDtypeStruct((F, num_envs), jnp.float32),
+        jax.ShapeDtypeStruct((I, num_envs), jnp.int32),
     )
     call = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(num_envs // B, n_chunks),
         in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((F, B), jnp.float32),
+                        pltpu.VMEM((I, B), jnp.int32)],
         interpret=pltpu.InterpretParams() if interpret else False,
     )
 
     def rollout_fn(agent_state, env_state, obs, key
                    ) -> Tuple[Rollout, object, jax.Array]:
-        del obs  # th/thdot are the authoritative state
+        del obs  # the packed rows are the authoritative state
         (w1, b1), (w2, b2), (wa, ba) = agent_state.act['mlp']
         (c1, cb1), (c2, cb2), (cv, cbv) = agent_state.cri
-        std = jnp.exp(agent_state.act['std_log'])            # (1, A)
+        if discrete:
+            std = jnp.ones((A, 1), jnp.float32)       # placeholder input
+        else:
+            std = jnp.exp(agent_state.act['std_log']).reshape(A, 1)
         if internal_rng:
-            # seed the core PRNG from the caller's key (deterministic)
             noise = jax.lax.bitcast_convert_type(
                 jax.random.key_data(key).reshape(2), jnp.int32)
         else:
-            kz, ku = jax.random.split(key)
-            noise = jnp.concatenate([
-                jax.random.normal(kz, (H, A, num_envs), jnp.float32),
-                jax.random.uniform(ku, (H, 2, num_envs), jnp.float32),
-            ], axis=1)
+            if discrete:
+                noise = jax.random.uniform(key, (H, NZ, num_envs),
+                                           jnp.float32)
+            else:
+                kz, ku = jax.random.split(key)
+                noise = jnp.concatenate([
+                    jax.random.normal(kz, (H, A, num_envs), jnp.float32),
+                    jax.random.uniform(ku, (H, body.n_reset, num_envs),
+                                       jnp.float32),
+                ], axis=1)
+        f0, i0 = body.pack(env_state)
         col = lambda v: v.reshape(-1, 1)
-        (states_t, actions_t, logprobs, rewards, truncs, values,
-         th, thdot, tc) = call(
-            env_state.theta.reshape(1, -1),
-            env_state.theta_dot.reshape(1, -1),
-            env_state.t.reshape(1, -1),
+        (states_t, actions_t, logprobs, rewards, terms, truncs, values,
+         f1, i1) = call(
+            f0, i0.reshape(I, -1).astype(jnp.int32),
             noise,
             col(agent_state.norm_avg), col(agent_state.norm_std),
             w1.T, col(b1), w2.T, col(b2), wa.T, col(ba),
             c1.T, col(cb1), c2.T, col(cb2), cv.T, col(cbv),
-            std.reshape(A, 1))
+            std)
         # Keep the kernel-native transposed layout (H, S, N)/(H, A, N) and
         # flag it with the 'tsn' extras marker — the PPO update gathers
         # minibatches from either layout, and skipping the un-transpose
@@ -300,14 +585,23 @@ def make_pendulum_ppo_rollout(net_dims, horizon_len: int, num_envs: int,
         rollout = Rollout(
             states=states_t, actions=actions_t, logprobs=logprobs,
             rewards=rewards,
-            undones=jnp.ones_like(rewards),     # Pendulum never terminates
+            undones=1.0 - terms,
             unmasks=1.0 - truncs,
             extras={'values': values,
-                    'tsn': jnp.zeros((horizon_len, 0), jnp.float32)})
-        th, thdot = th.reshape(-1), thdot.reshape(-1)
-        env_state = type(env_state)(theta=th, theta_dot=thdot,
-                                    t=tc.reshape(-1))
-        last_obs = jnp.stack([jnp.cos(th), jnp.sin(th), thdot], axis=-1)
-        return rollout, env_state, last_obs
+                    'tsn': jnp.zeros((H, 0), jnp.float32)})
+        env_state2 = body.unpack(f1, i1, env_state)
+        last_obs = body.obs(f1, i1.astype(jnp.int32)).T    # (N, S)
+        return rollout, env_state2, last_obs
 
     return rollout_fn
+
+
+def make_pendulum_ppo_rollout(net_dims, horizon_len: int, num_envs: int,
+                              reward_scale: float, store_dtype=None,
+                              block: int = 1024, chunk: int = None,
+                              interpret: bool = False):
+    """Back-compat alias: the original Pendulum-only entry point."""
+    return make_fused_rollout(PENDULUM_BODY, net_dims, horizon_len, num_envs,
+                              reward_scale, discrete=False,
+                              store_dtype=store_dtype, block=block,
+                              chunk=chunk, interpret=interpret)

@@ -130,53 +130,84 @@ def _make_kernel(U: int, B: int, S: int, A: int, n_act: int, n_cri: int,
             return jnp.dot(leaves[4], h,
                            preferred_element_type=jnp.float32) + leaves[5]
 
+        # Lane-chunking: fwd+bwd activations are (hidden, B) x several live
+        # copies; above ~2048 lanes they overflow VMEM (measured: B=2048
+        # compiles, 4096 does not).  Split the batch into equal static
+        # chunks and average the per-chunk grads/objectives — exact for the
+        # mean-reduced losses (grad of a mean over B == mean of equal-chunk
+        # grad means), f32-reassociation aside.
+        LC = min(B, 2048)
+        NLC = B // LC
+
         def body(u, carry):
             leaves, mus, nus = carry
             act_leaves = leaves[:n_act]
             cri_leaves = leaves[n_act:]
             x = sb_ref[pl.ds(u, 1)].reshape(S, B)
             a = ab_ref[pl.ds(u, 1)].reshape(A, B)
-            lp = lp_ref[pl.ds(u, 1)]                         # (1, B)
-            adv = adv_ref[pl.ds(u, 1)]
-            rs = rs_ref[pl.ds(u, 1)]
-            um = um_ref[pl.ds(u, 1)]
+            lp = lp_ref[pl.ds(u, 1)].reshape(1, B)
+            adv = adv_ref[pl.ds(u, 1)].reshape(1, B)
+            rs = rs_ref[pl.ds(u, 1)].reshape(1, B)
+            um = um_ref[pl.ds(u, 1)].reshape(1, B)
             xn = (x - avg) / nstd
             bc1a, bc2a = bc_ref[u, 0], bc_ref[u, 1]
             bc1c, bc2c = bc_ref[u, 2], bc_ref[u, 3]
 
-            def cri_loss_fn(cl):
-                v = mlp(cl, xn)                              # (1, B)
-                return jnp.mean(jnp.square(v - rs) * um)
+            def make_cri_loss(xn_c, rs_c, um_c):
+                def cri_loss_fn(cl):
+                    v = mlp(cl, xn_c)                        # (1, LC)
+                    return jnp.mean(jnp.square(v - rs_c) * um_c)
+                return cri_loss_fn
 
-            obj_critic, g_cri = jax.value_and_grad(cri_loss_fn)(cri_leaves)
+            def make_act_loss(xn_c, a_c, lp_c, adv_c, um_c):
+                def act_loss_fn(al):
+                    # al = [w1T, b1, w2T, b2, w3T, b3, std_log (A, 1)]
+                    mean = mlp(al[:6], xn_c)                 # (A, LC)
+                    std = jnp.exp(al[6])                     # (A, 1)
+                    stdb = jnp.broadcast_to(std, mean.shape)
+                    new_lp = jnp.sum(dists.normal_logprob(a_c, mean, stdb),
+                                     axis=0, keepdims=True)  # (1, LC)
+                    entropy = jnp.sum(dists.normal_entropy(stdb),
+                                      axis=0, keepdims=True)
+                    ratio = jnp.exp(new_lp - lp_c)
+                    if single_sided:   # reference form (AgentPPO.py:199)
+                        surrogate = adv_c * ratio * jnp.where(
+                            adv_c > 0, 1.0 - ratio_clip, 1.0 + ratio_clip)
+                    else:
+                        surrogate = jnp.minimum(
+                            adv_c * ratio,
+                            adv_c * jnp.clip(ratio, 1.0 - ratio_clip,
+                                             1.0 + ratio_clip))
+                    obj_surrogate = jnp.mean(surrogate * um_c)
+                    obj_entropy = jnp.mean(entropy * um_c)
+                    return (-(obj_surrogate - obj_entropy * lambda_entropy),
+                            (obj_surrogate, obj_entropy))
+                return act_loss_fn
+
+            obj_critic = obj_s = obj_e = 0.0
+            g_cri = g_act = None
+            for ci in range(NLC):
+                sl = slice(ci * LC, (ci + 1) * LC)
+                oc, gc = jax.value_and_grad(make_cri_loss(
+                    xn[:, sl], rs[:, sl], um[:, sl]))(cri_leaves)
+                (_, (os_, oe)), ga = jax.value_and_grad(
+                    make_act_loss(xn[:, sl], a[:, sl], lp[:, sl],
+                                  adv[:, sl], um[:, sl]),
+                    has_aux=True)(act_leaves)
+                obj_critic = obj_critic + oc
+                obj_s, obj_e = obj_s + os_, obj_e + oe
+                g_cri = gc if g_cri is None else tuple(
+                    p + q for p, q in zip(g_cri, gc))
+                g_act = ga if g_act is None else tuple(
+                    p + q for p, q in zip(g_act, ga))
+            inv = 1.0 / NLC
+            obj_critic, obj_s, obj_e = (obj_critic * inv, obj_s * inv,
+                                        obj_e * inv)
+            if NLC > 1:
+                g_cri = tuple(g * inv for g in g_cri)
+                g_act = tuple(g * inv for g in g_act)
             new_cri, new_cmu, new_cnu = adam_step(
                 cri_leaves, mus[n_act:], nus[n_act:], g_cri, bc1c, bc2c)
-
-            def act_loss_fn(al):
-                # al = [w1T, b1, w2T, b2, w3T, b3, std_log (A, 1)]
-                mean = mlp(al[:6], xn)                       # (A, B)
-                std = jnp.exp(al[6])                         # (A, 1)
-                stdb = jnp.broadcast_to(std, mean.shape)
-                new_lp = jnp.sum(dists.normal_logprob(a, mean, stdb),
-                                 axis=0, keepdims=True)      # (1, B)
-                entropy = jnp.sum(dists.normal_entropy(stdb),
-                                  axis=0, keepdims=True)     # (1, B)
-                ratio = jnp.exp(new_lp - lp)
-                if single_sided:   # reference form (AgentPPO.py:199)
-                    surrogate = adv * ratio * jnp.where(
-                        adv > 0, 1.0 - ratio_clip, 1.0 + ratio_clip)
-                else:
-                    surrogate = jnp.minimum(
-                        adv * ratio,
-                        adv * jnp.clip(ratio, 1.0 - ratio_clip,
-                                       1.0 + ratio_clip))
-                obj_surrogate = jnp.mean(surrogate * um)
-                obj_entropy = jnp.mean(entropy * um)
-                return (-(obj_surrogate - obj_entropy * lambda_entropy),
-                        (obj_surrogate, obj_entropy))
-
-            (_, (obj_s, obj_e)), g_act = jax.value_and_grad(
-                act_loss_fn, has_aux=True)(act_leaves)
             new_act, new_amu, new_anu = adam_step(
                 act_leaves, mus[:n_act], nus[:n_act], g_act, bc1a, bc2a)
 

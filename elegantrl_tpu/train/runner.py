@@ -85,11 +85,12 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
                           store_dtype, mesh):
     """Auto-select the fused whole-rollout Pallas kernel
     (``ops/pallas_rollout.py``) when the workload matches its scope:
-    continuous Gaussian-MLP PPO x Pendulum x 2 hidden layers x single chip
-    on a real TPU.  ``args.use_pallas_rollout``: 'auto' (default) | True |
-    False | 'interpret' (CPU tests).  Noise is drawn outside the kernel
-    with jax.random — deterministic given the key, same distributions as
-    (but a different stream than) the scan path."""
+    (Discrete)PPO with a 2-hidden-layer MLP on an env with a registered
+    kernel body (Pendulum, CartPole, HopperSlip), single chip on a real
+    TPU.  Long horizons run time-chunked (env state carried in VMEM
+    scratch), so the reference-demo-shaped horizon-2048 config qualifies.
+    ``args.use_pallas_rollout``: 'auto' (default) | True | False |
+    'interpret' (CPU tests)."""
     mode = getattr(args, 'use_pallas_rollout', 'auto')
     if mode in (False, 'false', '0'):
         return None
@@ -100,31 +101,44 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
         return None
     interpret = (mode == 'interpret')
     spec = env.spec
-    eligible = (spec.env_name == 'Pendulum-v1' and env.host_pool is None
-                and agent.name == 'AgentPPO' and not spec.if_discrete
+    from ..ops.pallas_rollout import KERNEL_ENV_BODIES, make_fused_rollout
+    body = KERNEL_ENV_BODIES.get(spec.env_name)
+    want_agent = 'AgentDiscretePPO' if spec.if_discrete else 'AgentPPO'
+    eligible = (body is not None and env.host_pool is None
+                and agent.name == want_agent
                 and len(tuple(args.net_dims)) == 2)
     if not eligible:
         if mode is True:
             raise ValueError(
-                'use_pallas_rollout=True requires continuous 2-hidden-layer '
-                f'MLP PPO on Pendulum-v1 (got agent={agent.name}, '
+                'use_pallas_rollout=True requires 2-hidden-layer MLP '
+                f'(Discrete)PPO on a kernel-body env '
+                f'{sorted(KERNEL_ENV_BODIES)} (got agent={agent.name}, '
                 f'env={spec.env_name}, net_dims={args.net_dims})')
         return None
-    # VMEM budget: the per-block rollout outputs + noise input live in VMEM
-    # for the whole kernel ((S+A+4) outputs + (A+2) noise rows, f32).  Keep
-    # them under ~4 MB of the ~16 MB VMEM (weights/activations need the
-    # rest); blocks below 128 waste the 128-wide lane dim, so fall back to
-    # the scan path instead (long-horizon configs like the reference demo's
-    # horizon 2048 land there by design).
-    rows = 3 + 1 + 4 + 1 + 2   # S + A + (logp,rew,trunc,val) + A noise + 2
+    # VMEM budget: the per-(block x chunk) rollout outputs (+ the noise
+    # input on the interpret path) live in VMEM.  Keep them under ~4 MB of
+    # the ~16 MB VMEM (weights/activations/scratch need the rest).  Pick
+    # the widest env block (lane utilisation), then the longest time chunk
+    # that fits; horizons longer than the chunk iterate the chunk grid dim.
+    S, A = body.state_dim, body.action_dim
+    noise_rows = (A + body.n_reset) if interpret else 0
+    rows = S + (1 if spec.if_discrete else A) + 5 + noise_rows
     sizes = (1024, 512, 256, 128) if not interpret else (16, 8)
-    block = next((b for b in sizes
-                  if num_envs % b == 0 and b <= num_envs
-                  and rows * horizon_len * b * 4 <= 4 * 2 ** 20), None)
+    block, chunk = None, None
+    for b in sizes:
+        if num_envs % b or b > num_envs:
+            continue
+        ch = next((c for c in (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+                   if c <= horizon_len and horizon_len % c == 0
+                   and rows * c * b * 4 <= 4 * 2 ** 20), None)
+        if ch is not None and (block is None or ch * 4 >= chunk):
+            # prefer wider blocks unless the chunk collapses (>4x shorter)
+            block, chunk = b, ch
+            break
     if block is None:
         if mode is True:
             raise ValueError(
-                f'use_pallas_rollout=True: no block size fits VMEM for '
+                f'use_pallas_rollout=True: no (block, chunk) fits VMEM for '
                 f'num_envs={num_envs}, horizon_len={horizon_len}')
         return None
     if not interpret and jax.devices()[0].platform != 'tpu':
@@ -134,12 +148,12 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
                 f'(current backend: {jax.devices()[0].platform}); use '
                 "use_pallas_rollout='interpret' for CPU testing")
         return None
-    from ..ops.pallas_rollout import make_pendulum_ppo_rollout
     print("| build_training: pallas fused-rollout fast path enabled "
-          f"(block={block})", flush=True)
-    return make_pendulum_ppo_rollout(
-        tuple(args.net_dims), horizon_len, num_envs, reward_scale,
-        store_dtype=store_dtype, block=block, interpret=interpret)
+          f"(env={spec.env_name}, block={block}, chunk={chunk})", flush=True)
+    return make_fused_rollout(
+        body, tuple(args.net_dims), horizon_len, num_envs, reward_scale,
+        discrete=bool(spec.if_discrete), store_dtype=store_dtype,
+        block=block, chunk=chunk, interpret=interpret)
 
 
 class TrainContext(NamedTuple):
@@ -200,7 +214,15 @@ def build_training(args: Config, mesh=None) -> TrainContext:
         if os.path.isfile(ckpt):
             agent_state = load_pytree(ckpt, agent_state)
             print(f"| train_agent: loaded {ckpt}", flush=True)
-    use_host_rollout = (env.host_pool is not None and mesh is None
+    # Host-pool envs ride host-rollout mode with or without a mesh: the host
+    # pool is the Worker (reference run.py:361-418), and under a mesh the
+    # uploaded rollout is sharded env-axis DP so the update half trains
+    # data-parallel across chips (the reference's multi-GPU mode builds
+    # per-process envs feeding per-GPU learners, run.py:165-202 — here one
+    # host pool feeds N device shards).  Multi-PROCESS meshes would need the
+    # pool split across hosts; single-process (multi-chip) only for now.
+    use_host_rollout = (env.host_pool is not None
+                        and (mesh is None or jax.process_count() == 1)
                         and bool(getattr(args, 'host_rollout', True)))
     if use_host_rollout and not _has_cpu_backend():
         # Host-rollout needs an in-process CPU backend for actor inference.
@@ -420,6 +442,28 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
                     [packed, metrics['action_hist'].astype(jnp.float32)])
             return carry, packed
 
+        if mesh is not None:
+            # env-axis DP: the host-collected rollout uploads sharded over
+            # the mesh so the jitted update half trains data-parallel (XLA
+            # inserts the cross-shard gathers/reductions, exactly as in the
+            # fused on-device path under a mesh)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def _to_device(tree):
+                def put(x):
+                    if x is None:
+                        return None
+                    spec = (P(None, 'dp', *([None] * (x.ndim - 2)))
+                            if x.ndim >= 2 else P(None))
+                    return jax.device_put(x, NamedSharding(mesh, spec))
+                return jax.tree.map(put, tree)
+
+            def _obs_to_device(o):
+                return jax.device_put(
+                    o, NamedSharding(mesh, P('dp', *([None] * (o.ndim - 1)))))
+        else:
+            _to_device = lambda tree: jax.tree.map(jnp.asarray, tree)
+            _obs_to_device = jnp.asarray
         obs_host = np.asarray(carry.obs)
         with jax.default_device(cpu):
             k_host = jax.random.key(int(args.random_seed) + 0x705)
@@ -432,9 +476,9 @@ def train_agent(args: Config, if_single_process: bool = True) -> dict:
                 arrs, obs_host = host_collect_rollout(
                     env.host_pool, explore_env_jit, params_cpu,
                     obs_host, k_roll, horizon_len, reward_scale, cpu)
-                rollout = jax.tree.map(jnp.asarray, arrs)        # -> device
+                rollout = _to_device(arrs)
                 carry, packed = update_packed(carry, rollout,
-                                              jnp.asarray(obs_host))
+                                              _obs_to_device(obs_host))
                 packs.append(packed)   # device arrays; fetched at eval time
             handle = evaluator.dispatch(
                 carry.agent_state, steps=steps_per_round * rounds_per_eval)

@@ -132,7 +132,8 @@ CONFIGS = {
     'discreteppo_cartpole': (AgentDiscretePPO, cartpole_args(AgentDiscretePPO), 400,
                              dict(net_dims=(64, 64), horizon_len=128, repeat_times=16,
                                   learning_rate=6e-4, batch_size=256,
-                                  eval_per_step=int(2e4), break_step=int(2e5))),
+                                  eval_per_step=int(2e4), break_step=int(4e5),
+                                  break_score=450.0)),
     # scale config: 4096 envs, update count scaled with env volume (see
     # examples/demo_A2C_PPO.py note); solves Pendulum beyond the reference's
     # best published score (-84.4)
@@ -190,7 +191,7 @@ CONFIGS = {
     'duelingdqn_cartpole': (AgentDuelingDQN, cartpole_args(AgentDuelingDQN),
                             300, DQN_CART),
     'ensembledqn_cartpole': (AgentEnsembleDQN, cartpole_args(AgentEnsembleDQN),
-                             150, DQN_CART),
+                             400, DQN_CART),
     'discretea2c_cartpole': (AgentDiscreteA2C, cartpole_args(AgentDiscreteA2C),
                              150,
                              dict(net_dims=(64, 64), horizon_len=128,
@@ -582,11 +583,11 @@ def _run_sac_humanoid_mujoco_host():
 
 SPECIALS = {
     'mappo_chasing': (lambda: _marl_row('mappo_chasing', _run_mappo, 3.5)),
-    'maddpg_chasing': (lambda: _marl_row('maddpg_chasing', _run_maddpg, -1.0)),
+    'maddpg_chasing': (lambda: _marl_row('maddpg_chasing', _run_maddpg, 3.5)),
     'qmix_chasing': (lambda: _marl_row(
-        'qmix_chasing', lambda: _run_qmix('qmix'), -2.0)),
+        'qmix_chasing', lambda: _run_qmix('qmix'), 3.5)),
     'vdn_chasing': (lambda: _marl_row(
-        'vdn_chasing', lambda: _run_qmix('vdn'), -2.0)),
+        'vdn_chasing', lambda: _run_qmix('vdn'), 3.5)),
     'mappornn_chasing': (lambda: _marl_row(
         'mappornn_chasing', _run_mappo_rnn, 3.0)),
     'ppo_isaac_mock': (lambda: _marl_row(

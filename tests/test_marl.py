@@ -34,9 +34,9 @@ def test_qmix_learns():
     state, history = train_qmix(env, num_envs=32, horizon=64,
                                 num_rounds=60, verbose=False, mixer='qmix')
     assert np.isfinite(history).all()
-    # Q-learning here dips before improving (like the off-policy Pendulum
-    # curves); with this budget the late evals clearly beat random (~-8)
-    assert max(history[-3:]) > -3.0, history
+    # with this budget the late evals must clearly beat random (~-8) and
+    # approach the solved regime, matching the other MARL gates
+    assert max(history[-3:]) > 3.0, history
 
 
 def test_vdn_runs_finite():

@@ -183,3 +183,174 @@ def test_runner_fast_path_trains(capsys):
     carry, metrics = jax.jit(ctx.round_fn)(ctx.carry, None)
     assert np.isfinite(float(metrics['obj_critic']))
     assert np.isfinite(float(metrics['obj_actor']))
+
+
+# ---------------------------------------------------------------------------
+# Generalized kernel env bodies (round 4): exact-math parity of each
+# registered KernelEnvBody against its env module's (obs, step), plus
+# interpret-mode integration for the CartPole (discrete head) and
+# HopperSlip fast paths.
+# ---------------------------------------------------------------------------
+from elegantrl_tpu.ops.pallas_rollout import (
+    CARTPOLE_BODY, HOPPER_BODY, PENDULUM_BODY, KERNEL_ENV_BODIES,
+    make_fused_rollout)
+from elegantrl_tpu.envs.cartpole import make_cartpole
+from elegantrl_tpu.envs.hopper import make_hopper
+from elegantrl_tpu.ops.dists import categorical_logprob
+
+
+def _random_states(env, n, key, steps=5, discrete=False, a_dim=1):
+    """Valid env states: init then a few random steps (keeps ranges real)."""
+    keys = jax.random.split(key, n)
+    state = jax.vmap(env.init)(keys)
+    k = jax.random.PRNGKey(99)
+    for _ in range(steps):
+        k, ka, ks = jax.random.split(k, 3)
+        if discrete:
+            a = jax.random.randint(ka, (n,), 0, a_dim)
+        else:
+            a = jax.random.uniform(ka, (n, a_dim), jnp.float32, -1, 1)
+        step_keys = jax.random.split(ks, n)
+        state, _, _, _ = jax.vmap(env.step)(state, a, step_keys)
+    return state
+
+
+@pytest.mark.parametrize("name,make_env,discrete", [
+    ("Pendulum-v1", None, False),
+    ("CartPole-v1", make_cartpole, True),
+    ("HopperSlip-v0", make_hopper, False),
+])
+def test_body_step_parity(name, make_env, discrete):
+    """body.step/obs must reproduce the env module's step/obs exactly."""
+    from elegantrl_tpu.envs.pendulum import make_pendulum
+    env = make_env() if make_env else make_pendulum()
+    body = KERNEL_ENV_BODIES[name]
+    n = 32
+    state = _random_states(env, n, jax.random.PRNGKey(1),
+                           discrete=discrete, a_dim=env.spec.action_dim)
+    if discrete:
+        act = jax.random.randint(jax.random.PRNGKey(2), (n,), 0,
+                                 env.spec.action_dim)
+        act_rows = act.astype(jnp.float32)[None]            # (1, B)
+    else:
+        act = jax.random.uniform(jax.random.PRNGKey(2),
+                                 (n, env.spec.action_dim), jnp.float32,
+                                 -0.99, 0.99)
+        act_rows = act.T                                    # (A, B)
+    f, i = body.pack(state)
+    # obs parity
+    obs_body = body.obs(f, i)
+    obs_env = jax.vmap(env.obs)(state)
+    np.testing.assert_allclose(np.asarray(obs_body.T), np.asarray(obs_env),
+                               rtol=1e-6, atol=1e-7)
+    # step parity (env.step ignores its key for these envs)
+    f2, i2, rew, term, trunc = body.step(f, i, act_rows)
+    keys = jax.random.split(jax.random.PRNGKey(3), n)
+    s2, rew_e, term_e, trunc_e = jax.vmap(env.step)(state, act, keys)
+    f2_e, i2_e = body.pack(s2)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f2_e),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i2[0]), np.asarray(i2_e[0]))
+    np.testing.assert_allclose(np.asarray(rew[0]), np.asarray(rew_e),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(term[0]) > 0,
+                                  np.asarray(term_e))
+    np.testing.assert_array_equal(np.asarray(trunc[0]) > 0,
+                                  np.asarray(trunc_e))
+
+
+def test_cartpole_discrete_fast_path():
+    """Interpret-mode CartPole rollout: stored logprobs/values recompute
+    from stored states/actions with the scan-path pure functions; terminal
+    bookkeeping (undones) reflects pole falls; reset ranges honored."""
+    from elegantrl_tpu.ops.dists import categorical_entropy
+    args = Config()
+    args.net_dims = NET_DIMS
+    agent = make_ppo(NET_DIMS, 4, 2, args, discrete=True)
+    s = agent.init(jax.random.PRNGKey(0))
+    env = make_cartpole()
+    n, h = 16, 24
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    env_state = jax.vmap(env.init)(keys)
+    obs = jax.vmap(env.obs)(env_state)
+    fast = make_fused_rollout(CARTPOLE_BODY, NET_DIMS, h, n, 1.0,
+                              discrete=True, block=8, interpret=True)
+    ro, es2, obs2 = fast(s, env_state, obs, jax.random.PRNGKey(3))
+    assert ro.actions.shape == (h, n) and ro.actions.dtype == jnp.int32
+    assert ro.states.shape == (h, 4, n)
+    states = jnp.moveaxis(ro.states, 1, 2).reshape(-1, 4)
+    logits = mlp_apply(s.act['mlp'],
+                       _norm_state(states, s.norm_avg, s.norm_std))
+    lp = categorical_logprob(logits, ro.actions.reshape(-1))
+    np.testing.assert_allclose(np.asarray(lp.reshape(h, n)),
+                               np.asarray(ro.logprobs), rtol=2e-4, atol=2e-5)
+    v = mlp_apply(s.cri, _norm_state(states, s.norm_avg, s.norm_std))[:, 0]
+    np.testing.assert_allclose(np.asarray(v.reshape(h, n)),
+                               np.asarray(ro.extras['values']),
+                               rtol=2e-4, atol=2e-5)
+    # rewards are all 1.0 on CartPole; dones eventually happen from random
+    # inits + random policy within 24 steps for at least one env
+    np.testing.assert_allclose(np.asarray(ro.rewards), 1.0)
+    dones = 1.0 - np.asarray(ro.undones) * np.asarray(ro.unmasks)
+    # after a done, the stored next state must be inside the reset range
+    hs, ns = np.nonzero(dones[:-1])
+    for t, e in zip(hs, ns):
+        nxt = np.asarray(ro.states)[t + 1, :, e]
+        assert np.all(np.abs(nxt) <= 0.05 + 1e-6), (t, e, nxt)
+
+
+def test_hopper_fast_path():
+    """Interpret-mode HopperSlip rollout: logprob/value parity + the t->t+1
+    transition matches the pure env step wherever no reset intervened."""
+    args = Config()
+    args.net_dims = NET_DIMS
+    agent = make_ppo(NET_DIMS, 6, 2, args)
+    s = agent.init(jax.random.PRNGKey(0))
+    env = make_hopper()
+    n, h = 16, 24
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    env_state = jax.vmap(env.init)(keys)
+    obs = jax.vmap(env.obs)(env_state)
+    fast = make_fused_rollout(HOPPER_BODY, NET_DIMS, h, n, 1.0,
+                              discrete=False, block=8, interpret=True)
+    ro, es2, obs2 = fast(s, env_state, obs, jax.random.PRNGKey(3))
+    assert ro.states.shape == (h, 6, n)
+    assert ro.actions.shape == (h, 2, n)
+    states = jnp.moveaxis(ro.states, 1, 2).reshape(-1, 6)
+    actions = jnp.moveaxis(ro.actions, 1, 2).reshape(-1, 2)
+    mean = mlp_apply(s.act['mlp'],
+                     _norm_state(states, s.norm_avg, s.norm_std))
+    std = jnp.exp(s.act['std_log'])
+    lp = jnp.sum(normal_logprob(actions, mean, std), axis=-1)
+    np.testing.assert_allclose(np.asarray(lp.reshape(h, n)),
+                               np.asarray(ro.logprobs), rtol=2e-4, atol=2e-4)
+    # final obs consistent with final env_state
+    np.testing.assert_allclose(np.asarray(obs2),
+                               np.asarray(jax.vmap(env.obs)(es2)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_equals_unchunked():
+    """Time-chunked grid (chunk < horizon) must produce the same rollout as
+    one chunk given the same external noise (interpret mode)."""
+    args = Config()
+    args.net_dims = NET_DIMS
+    agent = make_ppo(NET_DIMS, 3, 1, args)
+    s = agent.init(jax.random.PRNGKey(0))
+    from elegantrl_tpu.envs.pendulum import make_pendulum
+    env = make_pendulum()
+    n, h = 16, 24
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    env_state = jax.vmap(env.init)(keys)
+    env_state = env_state._replace(
+        t=(jnp.arange(n) * 29 % 200).astype(jnp.int32))
+    obs = jax.vmap(env.obs)(env_state)
+    f1 = make_fused_rollout(PENDULUM_BODY, NET_DIMS, h, n, 1.0,
+                            discrete=False, block=8, interpret=True)
+    f2 = make_fused_rollout(PENDULUM_BODY, NET_DIMS, h, n, 1.0,
+                            discrete=False, block=8, chunk=6, interpret=True)
+    ro1, es1, ob1 = f1(s, env_state, obs, jax.random.PRNGKey(3))
+    ro2, es2, ob2 = f2(s, env_state, obs, jax.random.PRNGKey(3))
+    for a, b in zip(jax.tree.leaves(ro1), jax.tree.leaves(ro2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ob1), np.asarray(ob2))
