@@ -38,6 +38,20 @@ DQN, minibatch 64, one SGD update per 32 env-steps (matched in expectation:
 B parallel envs take one batched update of 2B samples-worth per step), Adam
 with the reference's ramp-then-decay lr schedule, BLS + basin_reward=1/n,
 max_steps = 2n.
+
+Relation to the reference's engineering variants:
+- ``dqn_eeco.py`` ("EECO") is the base agent re-plumbed for VECTORIZED
+  sims (``n_sims`` batched envs, a batched replay that caches the static
+  graph-feature matrix once instead of per transition).  This module IS
+  that design natively — B vmapped episodes, compact int8 replay with
+  observation recompute — so no separate EECO agent exists here; the
+  EECO test-time exploration survives as ``eco_greedy_solve(eps=...)``.
+- ``dqn_two_devices.py`` splits sampling and SGD across two CUDA devices;
+  on TPU both halves fuse into one jitted round on one chip (the split
+  would only add transfers), so it is intentionally absent.
+- the S2V-vs-ECO test-time comparison drivers (``main.py`` inference
+  modes) map to ``scripts/maxcut_shootout.py``, which runs both agents —
+  plus iSCO/MCPG/LS/SA — on the same committed instances.
 """
 
 from __future__ import annotations
@@ -489,27 +503,40 @@ def make_eco_dqn(pool: EcoPool, batch: int = 32, features: int = 64,
 def eco_greedy_solve(params: MPNNParams, adj: np.ndarray,
                      num_restarts: int = 32, steps: Optional[int] = None,
                      key: Optional[jax.Array] = None, pm_one: bool = True,
-                     ) -> Tuple[float, np.ndarray]:
+                     eps: float = 0.0) -> Tuple[float, np.ndarray]:
     """Test-time inference (reference ``src/agents/solver.py`` Greedy/Network
     rollout): from ``num_restarts`` random spin inits, greedily follow
     argmax-Q for ``steps`` (default 2n) flips, return the best cut found.
+
+    ``eps > 0`` is the EECO-style exploratory inference mode (the
+    reference's dqn_eeco.py agent keeps test-time exploration on its
+    vectorized sims): each restart takes a uniform-random flip with
+    probability ``eps`` per step, which de-correlates the parallel
+    trajectories and can escape the greedy rollout's local basin; the
+    tracked ``best_score`` makes extra exploration monotone-safe.
 
     Works on graphs of any size (the MPNN is size-invariant), enabling the
     paper's train-small/test-big protocol."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    key, k_env = jax.random.split(key)
     adjs = np.asarray(adj, np.float32)[None]
     pool = build_pool(adjs)
     n = adjs.shape[-1]
     if steps is None:
         steps = 2 * n
-    env = eco_reset(pool, key, num_restarts, ring_len=2 * n,
+    env = eco_reset(pool, k_env, num_restarts, ring_len=2 * n,
                     gidx=jnp.zeros(num_restarts, jnp.int32))
 
-    def body(env, _):
+    def body(env, key_t):
         obs = eco_observe(pool, env)
         q = mpnn_q(params, obs, pool.adj[env.gidx], pool.pm_one)
         action = jnp.argmax(q, axis=-1).astype(jnp.int32)
+        if eps > 0.0:   # EECO exploratory restarts
+            k_u, k_a = jax.random.split(key_t)
+            rand_a = jax.random.randint(k_a, action.shape, 0, n)
+            explore = jax.random.uniform(k_u, action.shape) < eps
+            action = jnp.where(explore, rand_a, action)
         env2, _, _ = eco_step(pool, env, action, 0.0)
         # never auto-reset at inference: keep exploring from where we are.
         # step keeps counting past max_steps — the Zobrist ring slot
@@ -519,7 +546,8 @@ def eco_greedy_solve(params: MPNNParams, adj: np.ndarray,
         # write slot — a feature distribution the net never trained on)
         return env2, None
 
-    env, _ = jax.jit(lambda e: jax.lax.scan(body, e, None, length=steps))(env)
+    keys = jax.random.split(key, steps)
+    env, _ = jax.jit(lambda e, ks: jax.lax.scan(body, e, ks))(env, keys)
     best = np.asarray(env.best_score)
     i = int(best.argmax())
     return float(best[i]), np.asarray(env.best_spins[i])

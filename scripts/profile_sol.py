@@ -18,6 +18,7 @@ cross-checked against bench.py's numbers.
 """
 
 import json
+import os
 import sys
 import time
 from functools import partial
@@ -70,24 +71,41 @@ def profile_config(name, num_envs, horizon, batch, rounds, trace_dir):
         "device_busy_frac": round(busy / wall, 4),
         "traced_bytes": agg['bytes'],
         "traced_model_flops": agg['flops'],
+        # NOTE: Pallas kernels surface as 'custom-call' rows WITHOUT
+        # model_flops/bytes_accessed, so once the fused kernels carry most
+        # of the busy time these aggregates describe only the non-kernel
+        # ops; per-kernel SOL comes from analytic FLOP counts over the
+        # kernel's own measured duration (docs/performance.md).
         "hbm_util_busy": round(agg['bytes'] / busy / 1e9 / peaks['hbm_gbps'], 4),
         "compute_util_busy": round(
             agg['flops'] / busy / 1e12 / peaks['f32_tflops'], 4),
         "env_steps_per_s": round(rounds * num_envs * horizon / wall, 1),
         "top_categories_ms": {k: round(v * 1e3, 3) for k, v in
                               list(agg['seconds_by_category'].items())[:8]},
+        "top_ops_us_per_round": {
+            k: round(v * 1e6 / rounds, 2) for k, v in
+            list(agg.get('seconds_by_op', {}).items())[:12]},
     }
     print(json.dumps(out), flush=True)
+    return out
 
 
 def main():
     import tempfile
+    outs = []
     for name, num_envs, horizon, batch, rounds in [
             ("primary_4096env_h64", 4096, 64, 512, 20),
             ("cfg2_4096env_h2048", 4096, 2048, 512, 1),
             ("peak_65536env_h64", 65536, 64, 8192, 5)]:
         with tempfile.TemporaryDirectory() as td:
-            profile_config(name, num_envs, horizon, batch, rounds, td)
+            out = profile_config(name, num_envs, horizon, batch, rounds, td)
+            if out:
+                outs.append(out)
+    # committed artifact: the itemized residual behind bench.py's numbers
+    path = os.path.join(os.path.dirname(__file__), os.pardir, 'SOL_BREAKDOWN.json')
+    with open(path, 'w') as f:
+        json.dump(outs, f, indent=1)
+    print(f"| wrote {os.path.abspath(path)}", flush=True)
 
 
 if __name__ == "__main__":

