@@ -121,12 +121,16 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
                     and batch_size <= 2048
                     and compute_dtype is None)
         update_times = max(1, int(horizon_len * repeat_times / batch_size))
-        n_params = (state_dim * net_dims[0] + net_dims[0]
-                    + net_dims[0] * net_dims[1] + net_dims[1]
-                    + net_dims[1] * (action_dim + 1) + action_dim + 1) * 2
-        from ..ops.pallas_update import fused_update_bytes
-        fits = fused_update_bytes(update_times, batch_size, state_dim,
-                                  action_dim, n_params) <= 8 * 2 ** 20
+        if eligible:
+            n_params = (state_dim * net_dims[0] + net_dims[0]
+                        + net_dims[0] * net_dims[1] + net_dims[1]
+                        + net_dims[1] * (action_dim + 1)
+                        + action_dim + 1) * 2
+            from ..ops.pallas_update import fused_update_bytes
+            fits = fused_update_bytes(update_times, batch_size, state_dim,
+                                      action_dim, n_params) <= 8 * 2 ** 20
+        else:
+            fits = False
         if not (eligible and fits):
             if mode is True:
                 raise ValueError(
