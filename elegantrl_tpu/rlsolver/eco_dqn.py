@@ -418,17 +418,35 @@ def make_eco_dqn(pool: EcoPool, batch: int = 32, features: int = 64,
                  eps_final: float = 0.05, eps_decay_steps: int = 2000,
                  target_freq: int = 50, lr_peak: float = 1e-3,
                  lr_final: float = 1e-4, lr_ramp: int = 300,
-                 lr_decay: int = 6000, basin_reward: Optional[float] = None):
+                 lr_decay: int = 6000, basin_reward: Optional[float] = None,
+                 mesh=None, dp_axis: str = 'dp'):
     """Returns (init_fn, round_fn); test-time inference is the module-level
     :func:`eco_greedy_solve` (it is size-invariant, so it takes params + any
     graph rather than closing over this pool).
 
     ``round_fn(state, steps)`` runs ``steps`` env-steps (each: B parallel
     transitions + one double-DQN minibatch update) as one lax.scan.
+
+    ``mesh`` — multi-device training, the TPU-native counterpart of the
+    reference's two-device DQN (``src/agents/dqn_two_devices.py:153-154``
+    splits a sample_device from a train_device and ships tensors between
+    them).  Here nothing is shipped: the env batch, the replay ring, and
+    the minibatch gather are sharded over ``mesh[dp_axis]`` (each device
+    acts on ``batch/N`` spin systems and samples ``minibatch/N`` rows from
+    its own replay shard), params/optimizer are replicated, and the one
+    cross-device op is a gradient ``pmean`` riding ICI.  The global update
+    is the same averaged-minibatch double-DQN step, so quality matches the
+    single-chip trainer at N-times the sampling throughput.
     """
     n = pool.adj.shape[-1]
     if basin_reward is None:
         basin_reward = 1.0 / n
+    n_dp = 1 if mesh is None else int(mesh.shape[dp_axis])
+    if batch % n_dp or minibatch % n_dp or replay_cap % n_dp:
+        raise ValueError(
+            f'batch={batch}, minibatch={minibatch}, replay_cap={replay_cap} '
+            f'must all be divisible by mesh[{dp_axis!r}]={n_dp}')
+    mb_local = minibatch // n_dp
     sched = optax.join_schedules(
         [optax.linear_schedule(lr_final, lr_peak, lr_ramp),
          optax.linear_schedule(lr_peak, lr_final, lr_decay)], [lr_ramp])
@@ -442,7 +460,8 @@ def make_eco_dqn(pool: EcoPool, batch: int = 32, features: int = 64,
             params=params, target=params,
             opt=optimizer.init(params),
             env=env, rb=_replay_init(replay_cap, n),
-            tick=jnp.zeros((), jnp.int32), key=kk)
+            tick=jnp.zeros((), jnp.int32),
+            key=kk if mesh is None else jax.random.split(kk, n_dp))
 
     def loss_fn(params, target, rb, rows):
         adj = pool.adj[rb.gidx[rows]]
@@ -460,6 +479,7 @@ def make_eco_dqn(pool: EcoPool, batch: int = 32, features: int = 64,
 
     def one_step(ts: EcoTrainState, _):
         key, k_eps, k_act, k_smp = jax.random.split(ts.key, 4)
+        bsz = ts.env.gidx.shape[0]     # local batch under shard_map
         obs = eco_observe(pool, ts.env)
         adj = pool.adj[ts.env.gidx]
         q = mpnn_q(ts.params, obs, adj, pool.pm_one)
@@ -467,19 +487,25 @@ def make_eco_dqn(pool: EcoPool, batch: int = 32, features: int = 64,
             eps_final,
             1.0 - (1.0 - eps_final)
             * ts.tick.astype(jnp.float32) / eps_decay_steps)
-        rand_a = jax.random.randint(k_eps, (batch,), 0, n)
+        rand_a = jax.random.randint(k_eps, (bsz,), 0, n)
         greedy_a = jnp.argmax(q, axis=-1)
-        use_rand = jax.random.bernoulli(k_act, eps, (batch,))
+        use_rand = jax.random.bernoulli(k_act, eps, (bsz,))
         action = jnp.where(use_rand, rand_a, greedy_a).astype(jnp.int32)
         env2, rew, done = eco_step(pool, ts.env, action, basin_reward)
         rb = _replay_push(ts.rb, ts.env, action, rew, done, env2)
         env3 = _masked_reset(pool, env2, done)
-        # one minibatch update per scan step once warm
-        rows = jax.random.randint(k_smp, (minibatch,), 0,
+        # one minibatch update per scan step once warm (mb_local rows per
+        # device shard; the pmean below makes it one global minibatch)
+        rows = jax.random.randint(k_smp, (mb_local,), 0,
                                   jnp.maximum(rb.size, 1))
         loss, grads = jax.value_and_grad(loss_fn)(
             ts.params, ts.target, rb, rows)
-        warm = rb.size >= 2 * minibatch
+        best = jnp.max(env2.best_score)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, dp_axis)
+            loss = jax.lax.pmean(loss, dp_axis)
+            best = jax.lax.pmax(best, dp_axis)
+        warm = rb.size >= 2 * mb_local
         grads = jax.tree.map(lambda g: jnp.where(warm, g, 0.0), grads)
         updates, opt2 = optimizer.update(grads, ts.opt, ts.params)
         params2 = optax.apply_updates(ts.params, updates)
@@ -489,13 +515,37 @@ def make_eco_dqn(pool: EcoPool, batch: int = 32, features: int = 64,
             lambda t, p: jnp.where(sync, p, t), ts.target, params2)
         ts2 = EcoTrainState(params=params2, target=target2, opt=opt2,
                             env=env3, rb=rb, tick=tick2, key=key)
-        return ts2, {'loss': loss, 'best': jnp.max(env2.best_score),
-                     'eps': eps}
+        return ts2, {'loss': loss, 'best': best, 'eps': eps}
+
+    if mesh is None:
+        @partial(jax.jit, static_argnums=1)
+        def round_fn(ts: EcoTrainState, steps: int):
+            ts, ms = jax.lax.scan(one_step, ts, None, length=steps)
+            return ts, jax.tree.map(lambda x: x[-1], ms)
+
+        return init_fn, round_fn
+
+    from jax.sharding import PartitionSpec as P
+    dp, rep = P(dp_axis), P()
+    env_spec = EcoEnvState(*([dp] * len(EcoEnvState._fields)))
+    rb_spec = EcoReplay(spins=dp, best_spins=dp, tsf=dp, score=dp,
+                        best_score=dp, step=dp, gidx=dp, action=dp,
+                        reward=dp, done=dp, ptr=rep, size=rep)
+    state_spec = EcoTrainState(params=rep, target=rep, opt=rep,
+                               env=env_spec, rb=rb_spec, tick=rep, key=dp)
+
+    def _local_scan(ts: EcoTrainState, steps: int):
+        ts = ts._replace(key=ts.key[0])         # (1, 2) shard -> (2,)
+        ts, ms = jax.lax.scan(one_step, ts, None, length=steps)
+        ts = ts._replace(key=ts.key[None])
+        return ts, jax.tree.map(lambda x: x[-1], ms)
 
     @partial(jax.jit, static_argnums=1)
     def round_fn(ts: EcoTrainState, steps: int):
-        ts, ms = jax.lax.scan(one_step, ts, None, length=steps)
-        return ts, jax.tree.map(lambda x: x[-1], ms)
+        fn = jax.shard_map(partial(_local_scan, steps=steps), mesh=mesh,
+                           in_specs=(state_spec,),
+                           out_specs=(state_spec, rep))
+        return fn(ts)
 
     return init_fn, round_fn
 

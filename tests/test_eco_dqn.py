@@ -151,3 +151,47 @@ def test_eco_exploratory_inference_mode():
     # best-so-far tracking makes exploration monotone-safe in expectation;
     # at minimum both must beat the all-zeros cut (0) on a connected graph
     assert cut_e > 0 and cut_g > 0
+
+
+def test_eco_dqn_mesh_dp_training():
+    """Mesh-DP trainer (the TPU-native mirror of the reference's two-device
+    DQN, dqn_two_devices.py:153-154): env batch + replay ring sharded over a
+    4-device mesh, params replicated, gradients pmean'd.  Must train (finite
+    loss, inference no worse than the init params) and keep params bitwise
+    replicated across devices."""
+    from jax.sharding import Mesh
+
+    adjs = _ba_adjs(4, 16, seed=7)
+    pool = build_pool(adjs)
+    mesh = Mesh(np.array(jax.devices()[:4]), ('dp',))
+    init_fn, round_fn = make_eco_dqn(
+        pool, batch=16, features=32, layers=2, replay_cap=2048,
+        minibatch=64, eps_decay_steps=300, target_freq=25, lr_peak=5e-3,
+        lr_final=1e-3, lr_ramp=50, lr_decay=500, mesh=mesh)
+    ts = init_fn(jax.random.PRNGKey(0))
+    assert ts.key.shape == (4, 2)
+    params0 = ts.params
+    ts, ms = round_fn(ts, 400)
+    assert np.isfinite(float(ms['loss']))
+    assert float(ms['best']) > 0.0
+    # params must be identical on every device (replicated update)
+    w = ts.params[0] if isinstance(ts.params, tuple) else ts.params
+    leaf = jax.tree.leaves(ts.params)[0]
+    per_dev = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for a in per_dev[1:]:
+        np.testing.assert_array_equal(per_dev[0], a)
+    # trained params must not be worse than init at greedy inference
+    cut0, _ = eco_greedy_solve(params0, adjs[0], num_restarts=8,
+                               key=jax.random.PRNGKey(5))
+    cut1, _ = eco_greedy_solve(ts.params, adjs[0], num_restarts=8,
+                               key=jax.random.PRNGKey(5))
+    assert cut1 >= cut0 - 1.0, (cut1, cut0)
+
+
+def test_eco_dqn_mesh_divisibility_guard():
+    from jax.sharding import Mesh
+    adjs = _ba_adjs(2, 12, seed=3)
+    pool = build_pool(adjs)
+    mesh = Mesh(np.array(jax.devices()[:4]), ('dp',))
+    with pytest.raises(ValueError, match='divisible'):
+        make_eco_dqn(pool, batch=6, mesh=mesh)
