@@ -99,8 +99,8 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
 
     # Fused whole-update Pallas kernel (ops/pallas_update.py): the entire
     # minibatch-SGD loop as ONE op, auto-selected when the workload matches
-    # its scope — continuous 2-hidden-layer MLP PPO, f32 compute, lane-
-    # aligned batch, single chip.  args.use_pallas_update:
+    # its scope — (Discrete)PPO with a 2-hidden-layer MLP, f32 compute,
+    # lane-aligned batch, single chip.  args.use_pallas_update:
     # 'auto' (default) | True | False | 'interpret' (CPU tests).
     pallas_update_mode = getattr(args, 'use_pallas_update', 'auto')
 
@@ -115,7 +115,7 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
         # Mosaic helper dies even with in-kernel lane-chunking).  Larger
         # batches mean few updates per round anyway (update_times =
         # H*repeat/B), so the scan path costs little there.
-        eligible = (not (discrete or a2c or hterm)
+        eligible = (not (a2c or hterm)
                     and len(net_dims) == 2
                     and batch_size % 128 == 0
                     and batch_size <= 2048
@@ -134,11 +134,11 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
         if not (eligible and fits):
             if mode is True:
                 raise ValueError(
-                    'use_pallas_update=True requires continuous (non-A2C, '
-                    'non-H-term) 2-hidden-layer MLP PPO with batch_size a '
-                    'multiple of 128 and <= 2048, f32 compute, and a '
-                    'VMEM-sized minibatch block (got batch_size='
-                    f'{batch_size}, net_dims={net_dims}, '
+                    'use_pallas_update=True requires (Discrete)PPO (non-'
+                    'A2C, non-H-term) with a 2-hidden-layer MLP, '
+                    'batch_size a multiple of 128 and <= 2048, f32 '
+                    'compute, and a VMEM-sized minibatch block (got '
+                    f'batch_size={batch_size}, net_dims={net_dims}, '
                     f'update_times={update_times})')
             return None
         if not interpret and jax.devices()[0].platform != 'tpu':
@@ -153,7 +153,7 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
             state_dim, action_dim, batch_size, update_times,
             ratio_clip=ratio_clip, lambda_entropy=lambda_entropy, lr=lr,
             clip_grad=clip_grad, single_sided=if_single_sided_clip,
-            interpret=interpret)
+            discrete=discrete, interpret=interpret)
 
     def init(key):
         k1, k2 = jax.random.split(key)
@@ -286,13 +286,22 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
                 # profiler measured that relayout copy at ~203 us/round)
                 sb = jnp.stack([states[:, i, :][ids0, ids1]
                                 for i in range(states.shape[1])], axis=1)
-                ab = jnp.stack([actions[:, i, :][ids0, ids1]
-                                for i in range(actions.shape[1])], axis=1)
                 sb = sb.astype(jnp.float32)                    # (U, S, B)
-                ab = ab.astype(jnp.float32)                    # (U, A, B)
             else:
                 sb = jnp.transpose(states[ids0, ids1],
                                    (0, 2, 1)).astype(jnp.float32)
+            if discrete:
+                # actions carry no feature axis: (H, N) int32 in both
+                # layouts; the kernel takes the one-hot (U, A, B) row
+                aidx = actions[ids0, ids1]                     # (U, B)
+                ab = jnp.moveaxis(
+                    jax.nn.one_hot(aidx, action_dim, dtype=jnp.float32),
+                    -1, 1)                                     # (U, A, B)
+            elif tsn:
+                ab = jnp.stack([actions[:, i, :][ids0, ids1]
+                                for i in range(actions.shape[1])], axis=1)
+                ab = ab.astype(jnp.float32)                    # (U, A, B)
+            else:
                 ab = jnp.transpose(actions[ids0, ids1],
                                    (0, 2, 1)).astype(jnp.float32)
             lpb = logprobs[ids0, ids1]

@@ -35,9 +35,9 @@ to Mosaic).  Optimizer math replicates optax exactly:
   with bias corrections ``bc = 1 - beta**count`` PRECOMPUTED outside the
   kernel per iteration (a (U, 4) SMEM table), matching optax's int-count pow.
 
-Scope: continuous-action Gaussian-MLP PPO (any env — the update half is
-env-independent), 2 hidden layers, batch_size a multiple of 128, f32
-compute, single chip.  Parity: tests/test_pallas_update.py asserts the
+Scope: Gaussian-MLP PPO or categorical DiscretePPO (any env — the update
+half is env-independent), 2 hidden layers, batch_size a multiple of 128,
+f32 compute, single chip.  Parity: tests/test_pallas_update.py asserts the
 fused update matches the scan path's new params/metrics to f32 tolerance on
 identical inputs (same minibatch ids by construction).
 """
@@ -85,6 +85,7 @@ def _make_kernel(U: int, B: int, S: int, A: int, n_act: int, n_cri: int,
     lr, clip_grad = hp['lr'], hp['clip_grad']
     b1, b2, eps = hp['b1'], hp['b2'], hp['eps']
     single_sided = hp['single_sided']
+    discrete = hp['discrete']
     n_leaves = n_act + n_cri
 
     def adam_step(params, mus, nus, grads, bc1, bc2):
@@ -161,14 +162,26 @@ def _make_kernel(U: int, B: int, S: int, A: int, n_act: int, n_cri: int,
 
             def make_act_loss(xn_c, a_c, lp_c, adv_c, um_c):
                 def act_loss_fn(al):
-                    # al = [w1T, b1, w2T, b2, w3T, b3, std_log (A, 1)]
-                    mean = mlp(al[:6], xn_c)                 # (A, LC)
-                    std = jnp.exp(al[6])                     # (A, 1)
-                    stdb = jnp.broadcast_to(std, mean.shape)
-                    new_lp = jnp.sum(dists.normal_logprob(a_c, mean, stdb),
-                                     axis=0, keepdims=True)  # (1, LC)
-                    entropy = jnp.sum(dists.normal_entropy(stdb),
-                                      axis=0, keepdims=True)
+                    if discrete:
+                        # a_c is the ONE-HOT action (A, LC); selecting the
+                        # row via sum(logp * onehot) is bit-exact vs the
+                        # scan path's take_along_axis (dists.py:40-47)
+                        logits = mlp(al, xn_c)               # (A, LC)
+                        logp = jax.nn.log_softmax(logits, axis=0)
+                        new_lp = jnp.sum(logp * a_c, axis=0,
+                                         keepdims=True)      # (1, LC)
+                        entropy = -jnp.sum(jnp.exp(logp) * logp, axis=0,
+                                           keepdims=True)
+                    else:
+                        # al = [w1T, b1, w2T, b2, w3T, b3, std_log (A, 1)]
+                        mean = mlp(al[:6], xn_c)             # (A, LC)
+                        std = jnp.exp(al[6])                 # (A, 1)
+                        stdb = jnp.broadcast_to(std, mean.shape)
+                        new_lp = jnp.sum(
+                            dists.normal_logprob(a_c, mean, stdb),
+                            axis=0, keepdims=True)           # (1, LC)
+                        entropy = jnp.sum(dists.normal_entropy(stdb),
+                                          axis=0, keepdims=True)
                     ratio = jnp.exp(new_lp - lp_c)
                     if single_sided:   # reference form (AgentPPO.py:199)
                         surrogate = adv_c * ratio * jnp.where(
@@ -243,7 +256,7 @@ def make_ppo_fused_update(state_dim: int, action_dim: int, batch_size: int,
                           lambda_entropy: float, lr: float, clip_grad: float,
                           single_sided: bool = False, b1: float = 0.9,
                           b2: float = 0.999, eps: float = 1e-8,
-                          interpret: bool = False):
+                          discrete: bool = False, interpret: bool = False):
     """Build ``fused(act, cri, act_opt, cri_opt, norm_avg, norm_std,
     sb, ab, lpb, advb, rsb, umb) -> (act, cri, act_opt, cri_opt, metrics)``
     — the drop-in replacement for the PPO minibatch ``lax.scan``
@@ -251,13 +264,17 @@ def make_ppo_fused_update(state_dim: int, action_dim: int, batch_size: int,
 
     Minibatch inputs in kernel layout: ``sb (U, S, B)``, ``ab (U, A, B)``,
     the rest ``(U, 1, B)`` — pre-gathered with the same ids the scan path
-    would draw.
+    would draw.  ``discrete=True`` switches the actor loss to the
+    categorical head (AgentPPO.py's DiscretePPO): ``ab`` then carries the
+    ONE-HOT action (A = number of actions) and the actor has no std_log
+    leaf.
     """
     U, B = int(update_times), int(batch_size)
     S, A = int(state_dim), int(action_dim)
     hp = dict(ratio_clip=float(ratio_clip), lambda_entropy=float(lambda_entropy),
               lr=float(lr), clip_grad=float(clip_grad), b1=float(b1),
-              b2=float(b2), eps=float(eps), single_sided=bool(single_sided))
+              b2=float(b2), eps=float(eps), single_sided=bool(single_sided),
+              discrete=bool(discrete))
 
     def fused(act, cri, act_opt, cri_opt, norm_avg, norm_std,
               sb, ab, lpb, advb, rsb, umb) -> Tuple:

@@ -140,3 +140,52 @@ def test_runner_both_fast_paths(capsys):
         lambda a, b: float(jnp.max(jnp.abs(a - b))),
         ctx.carry.agent_state.act, carry.agent_state.act)
     assert max(jax.tree.leaves(moved)) > 0.0
+
+
+@pytest.fixture(scope="module")
+def setup_discrete():
+    """Same parity construction on the categorical head (DiscretePPO on
+    CartPole): same minibatch ids by construction, one-hot ab row."""
+    from elegantrl_tpu.agents.ppo import make_ppo as _make
+    from elegantrl_tpu.envs.cartpole import make_cartpole
+    from functools import partial as _p
+
+    def mk(mode):
+        args = Config()
+        args.net_dims = NET_DIMS
+        args.batch_size = B
+        args.repeat_times = 8.0
+        args.use_pallas_update = mode
+        return _make(NET_DIMS, 4, 2, args, discrete=True)
+
+    agent_ref, agent_fused = mk(False), mk('interpret')
+    s = agent_ref.init(jax.random.PRNGKey(0))
+    env = make_cartpole()
+    keys = jax.random.split(jax.random.PRNGKey(7), N)
+    env_state = jax.vmap(env.init)(keys)
+    obs = jax.vmap(env.obs)(env_state)
+    rollout, _, last_obs = collect_rollout(
+        env, s, agent_ref.explore_action, agent_ref.env_action,
+        env_state, obs, jax.random.PRNGKey(3), H, reward_scale=1.0,
+        extras_fn=agent_ref.rollout_extras)
+    k_upd = jax.random.PRNGKey(11)
+    s_ref, m_ref = jax.jit(agent_ref.update)(s, rollout, last_obs, k_upd)
+    s_fused, m_fused = jax.jit(agent_fused.update)(s, rollout, last_obs,
+                                                   k_upd)
+    return s, s_ref, m_ref, s_fused, m_fused
+
+
+def test_discrete_params_match(setup_discrete):
+    s0, s_ref, _, s_fused, _ = setup_discrete
+    for old, a, b in zip(jax.tree.leaves((s0.act, s0.cri)),
+                         jax.tree.leaves((s_ref.act, s_ref.cri)),
+                         jax.tree.leaves((s_fused.act, s_fused.cri))):
+        da, db = np.asarray(a - old), np.asarray(b - old)
+        np.testing.assert_allclose(db, da, rtol=5e-3, atol=1e-8)
+
+
+def test_discrete_metrics_match(setup_discrete):
+    _, _, m_ref, _, m_fused = setup_discrete
+    for k in ('obj_critic', 'obj_actor', 'obj_entropy'):
+        np.testing.assert_allclose(float(m_fused[k]), float(m_ref[k]),
+                                   rtol=1e-4, atol=1e-6)
