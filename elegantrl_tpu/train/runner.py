@@ -123,7 +123,13 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
     S, A = body.state_dim, body.action_dim
     noise_rows = (A + body.n_reset) if interpret else 0
     rows = S + (1 if spec.if_discrete else A) + 5 + noise_rows
-    sizes = (1024, 512, 256, 128) if not interpret else (16, 8)
+    # 2048-wide blocks measured fastest on every registered env body at
+    # 4096 envs (Pendulum 388->413M, CartPole 377->414M, HopperSlip
+    # 302->311M env-steps/s full-round; 4096-wide was slightly below 2048)
+    sizes = (2048, 1024, 512, 256, 128) if not interpret else (16, 8)
+    forced = getattr(args, 'pallas_rollout_block', None)
+    if forced:   # tuning override: exact env-block width
+        sizes = (int(forced),)
     block, chunk = None, None
     for b in sizes:
         if num_envs % b or b > num_envs:
