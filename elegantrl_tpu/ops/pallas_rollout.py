@@ -14,9 +14,11 @@ the entire horizon in a ``fori_loop``, touching HBM only to write the
 Scope: PPO (Gaussian head) and DiscretePPO (categorical head) with the
 default 2-hidden-layer MLP, over any env with a registered KERNEL ENV BODY
 — a pure elementwise step function the kernel inlines.  Registered bodies:
-Pendulum-v1, CartPole-v1, HopperSlip-v0 (envs/pendulum.py, envs/cartpole.py,
-envs/hopper.py re-stated in transposed row form; exact-math parity tested in
-tests/test_pallas_rollout.py).  The generic ``agents/base.py:collect_rollout``
+Pendulum-v1, CartPole-v1, HopperSlip-v0, PointChasingVecEnv,
+PointChasingDiscreteEnv (the env modules re-stated in transposed row form;
+exact-math parity tested in tests/test_pallas_rollout.py).  Bodies with env
+randomness (PointChasing's walker) declare ``n_step`` uniform rows, drawn
+from the same stream as the exploration noise.  The generic ``agents/base.py:collect_rollout``
 scan remains the general path (the runner auto-selects, train/runner.py).
 
 Layout: everything transposed — activations are (features, envs) so the
@@ -124,10 +126,12 @@ class KernelEnvBody(NamedTuple):
     pack: Callable           # env_state pytree -> (f32 (n_f32, N), i32)
     unpack: Callable         # (f32, i32) -> env_state pytree
     obs: Callable            # (f32, i32) -> (S, B)
-    step: Callable           # (f32, i32, env_action, ) -> (f32', i32',
-    #                          reward (1,B), terminal (1,B) bool,
-    #                          truncate (1,B) bool)
+    step: Callable           # (f32, i32, env_action, u (n_step, B)) ->
+    #                          (f32', i32', reward (1,B), terminal (1,B)
+    #                          bool, truncate (1,B) bool)
     reset: Callable          # (f32', i32', u (n_reset, B), done) -> masked
+    n_step: int = 0          # uniforms consumed by step (env randomness,
+    #                          e.g. PointChasing's random walker)
 
 
 # ---------------------------------------------------------------- Pendulum
@@ -145,7 +149,7 @@ def _pend_obs(f, i):
     return jnp.concatenate([jnp.cos(th), jnp.sin(th), thdot], axis=0)
 
 
-def _pend_step(f, i, a):
+def _pend_step(f, i, a, u):
     """envs/pendulum.py:55-71: g=10 m=1 l=1 dt=0.05, action x2 torque wrap,
     reward x0.5, 200-step truncation, never terminates."""
     th, thdot = f[0:1], f[1:2]
@@ -194,7 +198,7 @@ def _cp_obs(f, i):
 _CP_THETA_LIMIT = 12.0 * 2.0 * math.pi / 360.0
 
 
-def _cp_step(f, i, a):
+def _cp_step(f, i, a, u):
     """envs/cartpole.py:56-75: Euler dt=0.02, force +-10 N, terminal on
     |x|>2.4 or |theta|>12deg, truncate at 500, reward 1."""
     x, x_dot, theta, theta_dot = f[0:1], f[1:2], f[2:3], f[3:4]
@@ -248,7 +252,7 @@ def _hop_obs(f, i):
                             f[5:6] / 0.55, f[7:8]], axis=0)
 
 
-def _hop_step(f, i, a):
+def _hop_step(f, i, a, u):
     """envs/hopper.py:68-113 (SLIP): the lax.cond(stance, ...) branches are
     evaluated on all lanes and blended with where — identical math to what
     XLA's vmap-of-cond lowers to."""
@@ -321,8 +325,97 @@ HOPPER_BODY = KernelEnvBody(
     step=_hop_step, reset=_hop_reset)
 
 
+# ----------------------------------------------------------- PointChasing
+
+_CHASE_DIM = 2  # the default env dim (envs/point_chasing.py); rows below
+#                 are laid out [p0(dim), v0(dim), p1(dim), v1(dim), dist(1)]
+
+
+def _chase_pack(s):
+    return (jnp.concatenate([s.p0.T, s.v0.T, s.p1.T, s.v1.T,
+                             s.distance[None]], axis=0),
+            s.t.reshape(1, -1))
+
+
+def _chase_unpack(f, i, proto):
+    d = _CHASE_DIM
+    return type(proto)(p0=f[0:d].T, v0=f[d:2 * d].T, p1=f[2 * d:3 * d].T,
+                       v1=f[3 * d:4 * d].T, distance=f[4 * d], t=i[0])
+
+
+def _chase_obs(f, i):
+    return f[0:4 * _CHASE_DIM]   # obs IS [p0, v0, p1, v1]
+
+
+def _chase_cont_step(f, i, a, u):
+    """envs/point_chasing.py:56-74: L2-capped chase action, leaky-integrator
+    velocities, random walker fed by ``u`` (the per-step uniform rows the
+    scan path draws with ``jax.random.uniform(key, (dim,))``)."""
+    d = _CHASE_DIM
+    action_l2 = jnp.maximum(
+        jnp.sqrt(jnp.sum(jnp.square(a), axis=0, keepdims=True)), 1.0)
+    an = a / action_l2
+    v1 = f[3 * d:4 * d] * 0.75 + an
+    p1 = f[2 * d:3 * d] + v1 * 0.01
+    v0 = f[d:2 * d] * 0.50 + u
+    p0 = f[0:d] + v0 * 0.01
+    dist = jnp.sqrt(jnp.sum(jnp.square(p0 - p1), axis=0, keepdims=True))
+    reward = f[4 * d:4 * d + 1] - dist - action_l2 * 0.02
+    t2 = i[0:1] + 1
+    terminal = (dist < float(d)) | (t2 >= 1024)
+    trunc = jnp.zeros_like(terminal)
+    f2 = jnp.concatenate([p0, v0, p1, v1, dist], axis=0)
+    return f2, t2, reward, terminal, trunc
+
+
+def _chase_disc_step(f, i, a, u):
+    """envs/point_chasing.py:87-91: base-3 digit decode of the action index
+    (row carries the index as f32), each digit mapped to {-1, 0, +1}, then
+    the continuous step.  mod via the floor form (no jnp.mod in Mosaic)."""
+    idx = a[0:1]
+    rows = []
+    for k in range(_CHASE_DIM):
+        q = jnp.floor(idx / float(3 ** k))
+        digit = q - 3.0 * jnp.floor(q / 3.0)
+        rows.append(digit - 1.0)
+    return _chase_cont_step(f, i, jnp.concatenate(rows, axis=0), u)
+
+
+def _chase_reset(f, i, u, done):
+    """envs/point_chasing.py:41-47: p0 ~ N(0,1)^dim, p1 ~ N(0,1)^dim - 8,
+    v = 0, distance = ||p0-p1||, t = 0.  Normals via Box-Muller from the
+    2*dim reset uniforms (cos row -> p0, sin row -> p1): distribution-
+    identical to the scan path's jax.random.normal draws."""
+    d = _CHASE_DIM
+    r = jnp.sqrt(-2.0 * jnp.log(1.0 - u[0:d]))
+    ang = _TWO_PI * u[d:2 * d]
+    p0 = r * jnp.cos(ang)
+    p1 = r * jnp.sin(ang) - _INIT_DIST
+    dist = jnp.sqrt(jnp.sum(jnp.square(p0 - p1), axis=0, keepdims=True))
+    zero = jnp.zeros_like(p0)
+    fresh = jnp.concatenate([p0, zero, p1, zero, dist], axis=0)
+    f2 = jnp.where(done, fresh, f)
+    t2 = jnp.where(done, 0, i[0:1])
+    return f2, t2
+
+
+_INIT_DIST = 8.0
+
+CHASING_BODY = KernelEnvBody(
+    env_name='PointChasingVecEnv', state_dim=4 * _CHASE_DIM,
+    action_dim=_CHASE_DIM, n_f32=4 * _CHASE_DIM + 1, n_i32=1,
+    n_reset=2 * _CHASE_DIM, n_step=_CHASE_DIM,
+    pack=_chase_pack, unpack=_chase_unpack, obs=_chase_obs,
+    step=_chase_cont_step, reset=_chase_reset)
+
+CHASING_DISCRETE_BODY = CHASING_BODY._replace(
+    env_name='PointChasingDiscreteEnv', action_dim=3 ** _CHASE_DIM,
+    step=_chase_disc_step)
+
+
 KERNEL_ENV_BODIES = {b.env_name: b for b in
-                     (PENDULUM_BODY, CARTPOLE_BODY, HOPPER_BODY)}
+                     (PENDULUM_BODY, CARTPOLE_BODY, HOPPER_BODY,
+                      CHASING_BODY, CHASING_DISCRETE_BODY)}
 
 
 # ------------------------------------------------------------- the kernel
@@ -333,9 +426,10 @@ def _make_kernel(body: KernelEnvBody, chunk: int, n_chunks: int, block: int,
     CH, B = chunk, block
     S, A = body.state_dim, body.action_dim
     # random rows per step: internal draws uniforms (2A for Box-Muller when
-    # continuous); the external/interpret path streams normals directly (A)
-    NZ = ((A if discrete else 2 * A) + body.n_reset if internal_rng
-          else A + body.n_reset)
+    # continuous); the external/interpret path streams normals directly (A);
+    # both append the env's own per-step uniforms then the reset uniforms
+    NZ = ((A if discrete else 2 * A) + body.n_step + body.n_reset
+          if internal_rng else A + body.n_step + body.n_reset)
 
     def kernel(*refs):
         if internal_rng:
@@ -419,23 +513,25 @@ def _make_kernel(body: KernelEnvBody, chunk: int, n_chunks: int, block: int,
                                           keepdims=True))
                 logp = jnp.sum(out * onehot, axis=0, keepdims=True) - lse
                 actions_o[pl.ds(t, 1)] = action            # (1, B) int32
-                env_a = action.astype(jnp.float32)         # (1, B) 0/1 row
-                u_reset = u_all[A:A + body.n_reset]
+                env_a = action.astype(jnp.float32)         # (1, B) idx row
+                u_env = u_all[A:]
             else:
                 if internal_rng:   # Box-Muller: 2A uniforms -> A normals
                     z = jnp.sqrt(-2.0 * jnp.log(1.0 - u_all[0:A])) * jnp.cos(
                         _TWO_PI * u_all[A:2 * A])
-                    u_reset = u_all[2 * A:]
+                    u_env = u_all[2 * A:]
                 else:              # host-drawn normals streamed in directly
                     z = u_all[0:A]
-                    u_reset = u_all[A:A + body.n_reset]
+                    u_env = u_all[A:]
                 action = out + std * z                     # raw stored action
                 actions_o[pl.ds(t, 1)] = action[None]
                 logp = jnp.sum(-0.5 * jnp.square(z) - log_std
                                - _LOG_SQRT_2PI, axis=0, keepdims=True)
                 env_a = jnp.tanh(action)                   # agents/ppo.py
             logp_o[pl.ds(t, 1)] = logp
-            f2, i2, reward, terminal, trunc = body.step(f, i, env_a)
+            u_step = u_env[0:body.n_step]
+            u_reset = u_env[body.n_step:body.n_step + body.n_reset]
+            f2, i2, reward, terminal, trunc = body.step(f, i, env_a, u_step)
             rew_o[pl.ds(t, 1)] = reward * reward_scale
             term_o[pl.ds(t, 1)] = terminal.astype(jnp.float32)
             trunc_o[pl.ds(t, 1)] = trunc.astype(jnp.float32)
@@ -478,7 +574,7 @@ def make_fused_rollout(body: KernelEnvBody, net_dims, horizon_len: int,
         raise ValueError(f'unsupported store_dtype {store_dtype} for the '
                          'fused rollout kernel (only bfloat16 / None)')
     internal_rng = not interpret   # interpreter's prng_random_bits is a stub
-    NZ = A + body.n_reset          # external-noise rows (normals direct)
+    NZ = A + body.n_step + body.n_reset   # external rows (normals direct)
     kernel = _make_kernel(body, CH, n_chunks, B, float(reward_scale),
                           discrete, quantize=store_dtype is not None,
                           internal_rng=internal_rng)
@@ -562,8 +658,9 @@ def make_fused_rollout(body: KernelEnvBody, net_dims, horizon_len: int,
                 kz, ku = jax.random.split(key)
                 noise = jnp.concatenate([
                     jax.random.normal(kz, (H, A, num_envs), jnp.float32),
-                    jax.random.uniform(ku, (H, body.n_reset, num_envs),
-                                       jnp.float32),
+                    jax.random.uniform(ku,
+                                       (H, body.n_step + body.n_reset,
+                                        num_envs), jnp.float32),
                 ], axis=1)
         f0, i0 = body.pack(env_state)
         col = lambda v: v.reshape(-1, 1)

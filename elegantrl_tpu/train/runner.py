@@ -86,8 +86,8 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
     """Auto-select the fused whole-rollout Pallas kernel
     (``ops/pallas_rollout.py``) when the workload matches its scope:
     (Discrete)PPO with a 2-hidden-layer MLP on an env with a registered
-    kernel body (Pendulum, CartPole, HopperSlip), single chip on a real
-    TPU.  Long horizons run time-chunked (env state carried in VMEM
+    kernel body (Pendulum, CartPole, HopperSlip, PointChasing cont+disc),
+    single chip on a real TPU.  Long horizons run time-chunked (env state carried in VMEM
     scratch), so the reference-demo-shaped horizon-2048 config qualifies.
     ``args.use_pallas_rollout``: 'auto' (default) | True | False |
     'interpret' (CPU tests)."""
@@ -103,6 +103,9 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
     spec = env.spec
     from ..ops.pallas_rollout import KERNEL_ENV_BODIES, make_fused_rollout
     body = KERNEL_ENV_BODIES.get(spec.env_name)
+    if body is not None and (body.state_dim != spec.state_dim
+                             or body.action_dim != spec.action_dim):
+        body = None   # e.g. PointChasing with dim != 2: body is dim-fixed
     want_agent = 'AgentDiscretePPO' if spec.if_discrete else 'AgentPPO'
     eligible = (body is not None and env.host_pool is None
                 and agent.name == want_agent
@@ -121,7 +124,7 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
     # the widest env block (lane utilisation), then the longest time chunk
     # that fits; horizons longer than the chunk iterate the chunk grid dim.
     S, A = body.state_dim, body.action_dim
-    noise_rows = (A + body.n_reset) if interpret else 0
+    noise_rows = (A + body.n_step + body.n_reset) if interpret else 0
     rows = S + (1 if spec.if_discrete else A) + 5 + noise_rows
     # 2048-wide blocks measured fastest on every registered env body at
     # 4096 envs (Pendulum 388->413M, CartPole 377->414M, HopperSlip

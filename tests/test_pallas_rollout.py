@@ -196,6 +196,8 @@ from elegantrl_tpu.ops.pallas_rollout import (
     make_fused_rollout)
 from elegantrl_tpu.envs.cartpole import make_cartpole
 from elegantrl_tpu.envs.hopper import make_hopper
+from elegantrl_tpu.envs.point_chasing import (make_point_chasing,
+                                              make_point_chasing_discrete)
 from elegantrl_tpu.ops.dists import categorical_logprob
 
 
@@ -219,9 +221,13 @@ def _random_states(env, n, key, steps=5, discrete=False, a_dim=1):
     ("Pendulum-v1", None, False),
     ("CartPole-v1", make_cartpole, True),
     ("HopperSlip-v0", make_hopper, False),
+    ("PointChasingVecEnv", make_point_chasing, False),
+    ("PointChasingDiscreteEnv", make_point_chasing_discrete, True),
 ])
 def test_body_step_parity(name, make_env, discrete):
-    """body.step/obs must reproduce the env module's step/obs exactly."""
+    """body.step/obs must reproduce the env module's step/obs exactly.
+    Bodies with n_step > 0 (PointChasing's walker) are fed the SAME
+    uniforms the env module draws from its per-env step keys."""
     from elegantrl_tpu.envs.pendulum import make_pendulum
     env = make_env() if make_env else make_pendulum()
     body = KERNEL_ENV_BODIES[name]
@@ -243,9 +249,13 @@ def test_body_step_parity(name, make_env, discrete):
     obs_env = jax.vmap(env.obs)(state)
     np.testing.assert_allclose(np.asarray(obs_body.T), np.asarray(obs_env),
                                rtol=1e-6, atol=1e-7)
-    # step parity (env.step ignores its key for these envs)
-    f2, i2, rew, term, trunc = body.step(f, i, act_rows)
+    # step parity: replicate the env module's per-step uniform draws so a
+    # randomness-consuming body sees identical walker noise
     keys = jax.random.split(jax.random.PRNGKey(3), n)
+    u_rows = jax.vmap(
+        lambda k: jax.random.uniform(k, (body.n_step,), jnp.float32))(
+            keys).T if body.n_step else jnp.zeros((0, n), jnp.float32)
+    f2, i2, rew, term, trunc = body.step(f, i, act_rows, u_rows)
     s2, rew_e, term_e, trunc_e = jax.vmap(env.step)(state, act, keys)
     f2_e, i2_e = body.pack(s2)
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f2_e),
@@ -325,6 +335,91 @@ def test_hopper_fast_path():
     np.testing.assert_allclose(np.asarray(lp.reshape(h, n)),
                                np.asarray(ro.logprobs), rtol=2e-4, atol=2e-4)
     # final obs consistent with final env_state
+    np.testing.assert_allclose(np.asarray(obs2),
+                               np.asarray(jax.vmap(env.obs)(es2)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_chasing_fast_path():
+    """Interpret-mode PointChasing rollout (the first n_step > 0 body):
+    logprob/value parity from stored states/actions; the state invariant
+    distance == ||p0 - p1|| holds at every stored step (both the walker
+    update and the reset preserve it); rewards recompute from consecutive
+    stored states wherever no reset intervened."""
+    from elegantrl_tpu.ops.pallas_rollout import CHASING_BODY
+    args = Config()
+    args.net_dims = NET_DIMS
+    agent = make_ppo(NET_DIMS, 8, 2, args)
+    s = agent.init(jax.random.PRNGKey(0))
+    env = make_point_chasing()
+    n, h = 16, 24
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    env_state = jax.vmap(env.init)(keys)
+    obs = jax.vmap(env.obs)(env_state)
+    fast = make_fused_rollout(CHASING_BODY, NET_DIMS, h, n, 1.0,
+                              discrete=False, block=8, interpret=True)
+    ro, es2, obs2 = fast(s, env_state, obs, jax.random.PRNGKey(3))
+    assert ro.states.shape == (h, 8, n)
+    assert ro.actions.shape == (h, 2, n)
+    states = jnp.moveaxis(ro.states, 1, 2).reshape(-1, 8)
+    actions = jnp.moveaxis(ro.actions, 1, 2).reshape(-1, 2)
+    mean = mlp_apply(s.act['mlp'],
+                     _norm_state(states, s.norm_avg, s.norm_std))
+    std = jnp.exp(s.act['std_log'])
+    lp = jnp.sum(normal_logprob(actions, mean, std), axis=-1)
+    np.testing.assert_allclose(np.asarray(lp.reshape(h, n)),
+                               np.asarray(ro.logprobs), rtol=2e-4, atol=2e-4)
+    v = mlp_apply(s.cri, _norm_state(states, s.norm_avg, s.norm_std))[:, 0]
+    np.testing.assert_allclose(np.asarray(v.reshape(h, n)),
+                               np.asarray(ro.extras['values']),
+                               rtol=2e-4, atol=2e-4)
+    # reward parity where no done intervened: r_t = d(s_t) - d(s_{t+1})
+    #                                               - 0.02 * max(||a_t||, 1)
+    st = jnp.moveaxis(ro.states, 1, 2)                      # (h, n, 8)
+    dist = jnp.sqrt(jnp.sum(jnp.square(st[..., 0:2] - st[..., 4:6]),
+                            axis=-1))                       # (h, n)
+    a_env = jnp.tanh(jnp.moveaxis(ro.actions, 1, 2))        # (h, n, 2)
+    a_l2 = jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(a_env), -1)), 1.0)
+    keep = np.asarray((ro.undones * ro.unmasks)[:-1]) == 1.0
+    want = dist[:-1] - dist[1:] - 0.02 * a_l2[:-1]
+    np.testing.assert_allclose(
+        np.where(keep, np.asarray(ro.rewards[:-1]), 0.0),
+        np.where(keep, np.asarray(want), 0.0), rtol=1e-4, atol=1e-4)
+    # final obs consistent with final env_state + distance invariant
+    np.testing.assert_allclose(np.asarray(obs2),
+                               np.asarray(jax.vmap(env.obs)(es2)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(es2.distance),
+        np.asarray(jnp.sqrt(jnp.sum(jnp.square(es2.p0 - es2.p1), -1))),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_chasing_discrete_fast_path():
+    """Interpret-mode discrete PointChasing: int32 actions in [0, 9),
+    logprob parity via the categorical head, digit-decode exercised."""
+    from elegantrl_tpu.ops.pallas_rollout import CHASING_DISCRETE_BODY
+    args = Config()
+    args.net_dims = NET_DIMS
+    agent = make_ppo(NET_DIMS, 8, 9, args, discrete=True)
+    s = agent.init(jax.random.PRNGKey(0))
+    env = make_point_chasing_discrete()
+    n, h = 16, 24
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    env_state = jax.vmap(env.init)(keys)
+    obs = jax.vmap(env.obs)(env_state)
+    fast = make_fused_rollout(CHASING_DISCRETE_BODY, NET_DIMS, h, n, 1.0,
+                              discrete=True, block=8, interpret=True)
+    ro, es2, obs2 = fast(s, env_state, obs, jax.random.PRNGKey(3))
+    assert ro.actions.shape == (h, n) and ro.actions.dtype == jnp.int32
+    acts = np.asarray(ro.actions)
+    assert acts.min() >= 0 and acts.max() < 9
+    states = jnp.moveaxis(ro.states, 1, 2).reshape(-1, 8)
+    logits = mlp_apply(s.act['mlp'],
+                       _norm_state(states, s.norm_avg, s.norm_std))
+    lp = categorical_logprob(logits, ro.actions.reshape(-1))
+    np.testing.assert_allclose(np.asarray(lp.reshape(h, n)),
+                               np.asarray(ro.logprobs), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(obs2),
                                np.asarray(jax.vmap(env.obs)(es2)),
                                rtol=1e-5, atol=1e-6)
