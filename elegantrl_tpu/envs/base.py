@@ -74,6 +74,11 @@ class EnvDef(NamedTuple):
     # direct pool stepping) instead of paying one device round-trip per step
     # through ordered io_callback — see train/runner.py host-rollout mode.
     host_pool: Any = None
+    # optional instance-specific fused-rollout kernel body
+    # (``ops/pallas_rollout.py:KernelEnvBody``) for envs whose body depends
+    # on construction parameters/data (e.g. StockTrading's market tables);
+    # parameter-free envs register in KERNEL_ENV_BODIES instead.
+    kernel_body: Any = None
 
 
 def vec_reset(env: EnvDef, key: PRNGKey, num_envs: int) -> Tuple[EnvState, jax.Array]:

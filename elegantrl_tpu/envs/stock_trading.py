@@ -186,8 +186,13 @@ def make_stock_trading(initial_amount: float = 1e6, max_stock: float = 1e2,
 
     spec = EnvSpec(env_name='StockTradingEnv-v2', num_envs=1, max_step=max_step,
                    state_dim=state_dim, action_dim=num_shares, if_discrete=False)
+    from ..ops.pallas_rollout import make_stock_body
+    body = make_stock_body(close, tech, initial_amount=initial_amount,
+                           max_stock=max_stock, cost_pct=cost_pct,
+                           gamma=gamma, if_random_reset=if_random_reset)
     return EnvDef(spec=spec, init=init, obs=obs, step=step,
-                  episode_return=lambda s: s.cumulative_returns)
+                  episode_return=lambda s: s.cumulative_returns,
+                  kernel_body=body)
 
 
 class StockTradingVecEnv(VecEnv):

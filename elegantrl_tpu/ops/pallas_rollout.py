@@ -61,7 +61,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -132,6 +132,24 @@ class KernelEnvBody(NamedTuple):
     reset: Callable          # (f32', i32', u (n_reset, B), done) -> masked
     n_step: int = 0          # uniforms consumed by step (env randomness,
     #                          e.g. PointChasing's random walker)
+    # --- optional market-data extension (StockTrading) ---
+    # tables: static (T, rows) f32 arrays kept VMEM-resident for the whole
+    # kernel; bodies fetch day-indexed rows through a ``fetch(ti, day)``
+    # callable -> (1, rows) the kernel (refs + pl.ds) or a test (values +
+    # lax.dynamic_slice) provides.  When non-empty, the extended signatures
+    # apply:
+    #   scalar_init(i32_scratch_ref) -> scalars   (a TUPLE of lane-UNIFORM
+    #                                              values, e.g. the shared
+    #                                              day counter)
+    #   obs(f, i, scal, fetch) -> (S, B)
+    #   step(f, i, a, u, scal, fetch) -> (f2, i2, reward, term, trunc, scal2)
+    #     where scal2 is again a tuple with scal's structure (fori_loop
+    #     carries it alongside the state rows)
+    #   reset(f, i, u, done, fetch) -> (f2, i2)   (fetch appended so reset
+    #     can read table rows — Pallas kernels cannot capture array
+    #     constants, so day-0 data must come through the refs).
+    tables: tuple = ()
+    scalar_init: Any = None
 
 
 # ---------------------------------------------------------------- Pendulum
@@ -418,6 +436,146 @@ KERNEL_ENV_BODIES = {b.env_name: b for b in
                       CHASING_BODY, CHASING_DISCRETE_BODY)}
 
 
+# ------------------------------------------------------------ StockTrading
+
+def _row_to_col(row):
+    """(1, R) table row -> (R, 1) column.  Isolated so the lane->sublane
+    relayout strategy can be swapped in one place if Mosaic's transpose
+    lowering regresses (fallback: transposed tables + lane-dim dyn slice)."""
+    return jnp.transpose(row)
+
+
+def make_stock_body(close, tech, initial_amount: float = 1e6,
+                    max_stock: float = 1e2, cost_pct: float = 1e-3,
+                    gamma: float = 0.99,
+                    if_random_reset: bool = True) -> KernelEnvBody:
+    """Fused-rollout body for ``envs/stock_trading.py:make_stock_trading``
+    (the AI4Finance flagship env; reference
+    ``elegantrl/envs/StockTradingEnv.py:64-97``).
+
+    The market tables (close (T, S), tech (T, 8S)) stay VMEM-resident for
+    the whole kernel (~600 KB at the reference 1113x15 shape) and the
+    day-indexed rows are fetched with one dynamic sublane slice per step —
+    replacing the scan path's per-step gather + 15-iteration ``lax.scan``
+    trade loop (~60 extra tiny ops/step of launch latency) with in-kernel
+    vector ops.
+
+    Lane-uniformity invariant: every env starts at day 0 (``init``) and the
+    episode terminates only by the shared day counter, so ``day`` is the
+    same on all lanes forever; the body carries it as the kernel scalar
+    (``scalar_init``) that feeds the table fetches.  The per-lane i32 day
+    row is still maintained for pack/unpack fidelity.
+
+    Episode bookkeeping matched exactly (parity-tested): dead-zone 0.1,
+    integer lots via trunc, sequential per-stock cash constraint,
+    transaction cost both ways, delta-total-asset reward x 2^-12, terminal
+    mean-reward/(1-gamma) bonus, cumulative_returns recorded at terminal,
+    random reset jitter (cash U[0.75,1.25) x initial, |N(0,1)|x2^7 share
+    lots via in-body Box-Muller).
+    """
+    close = jnp.asarray(close, jnp.float32)
+    tech = jnp.asarray(tech, jnp.float32)
+    T, S = close.shape
+    TECH = tech.shape[1]
+    max_step = T - 1
+    env_reward_scale = 2.0 ** -12
+    state_dim = 1 + S + S + TECH
+    n_pairs = (S + 1) // 2            # Box-Muller pairs for S share normals
+    n_reset = 1 + 2 * n_pairs
+
+    def pack(s):
+        return (jnp.concatenate([
+            s.amount[None], s.shares.T, s.total_asset[None],
+            s.reward_sum[None], s.cumulative_returns[None]], axis=0),
+            s.day.reshape(1, -1))
+
+    def unpack(f, i, proto):
+        return type(proto)(day=i[0], amount=f[0], shares=f[1:1 + S].T,
+                           total_asset=f[1 + S], reward_sum=f[2 + S],
+                           cumulative_returns=f[3 + S])
+
+    def scalar_init(i_ref):
+        return (i_ref[0, 0],)
+
+    def obs(f, i, scal, fetch):
+        day = scal[0]
+        B = f.shape[1]
+        close_col = _row_to_col(fetch(0, day))        # (S, 1)
+        tech_col = _row_to_col(fetch(1, day))         # (TECH, 1)
+        return jnp.concatenate([
+            jnp.tanh(f[0:1] * 2.0 ** -18),
+            jnp.tanh(f[1:1 + S] * 2.0 ** -10),
+            jnp.broadcast_to(close_col * 2.0 ** -7, (S, B)),
+            jnp.broadcast_to(tech_col * 2.0 ** -6, (TECH, B)),
+        ], axis=0)
+
+    def step(f, i, a, u, scal, fetch):
+        day2 = scal[0] + 1
+        prices = _row_to_col(fetch(0, day2))          # (S, 1) close[day+1]
+        amount = f[0:1]
+        a = jnp.where(jnp.abs(a) < 0.1, 0.0, a)
+        ax = a * max_stock
+        a_int = jnp.sign(ax) * jnp.floor(jnp.abs(ax))  # trunc toward zero
+        # sequential cash-constrained trade loop, unrolled over stocks:
+        # in-kernel vector ops, no launch latency (StockTradingEnv.py:77-87)
+        new_shares = []
+        for k in range(S):
+            price_k = prices[k:k + 1]                 # (1, 1)
+            a_k = a_int[k:k + 1]
+            share_k = f[1 + k:2 + k]
+            can_buy = jnp.floor(amount / price_k)
+            buy = jnp.where(a_k > 0, jnp.minimum(can_buy, a_k), 0.0)
+            sell = jnp.where(a_k > 0, 0.0, jnp.clip(-a_k, 0.0, share_k))
+            amount = (amount - price_k * buy * (1.0 + cost_pct)
+                      + price_k * sell * (1.0 - cost_pct))
+            new_shares.append(share_k + buy - sell)
+        shares2 = jnp.concatenate(new_shares, axis=0)  # (S, B)
+        # the env's exact reduction form (summation ORDER matters: totals
+        # sit near 1e6 in f32, and reward is the cancellation-prone delta)
+        total = jnp.sum(prices * shares2, axis=0, keepdims=True) + amount
+        total_prev = f[1 + S:2 + S]
+        reward = (total - total_prev) * env_reward_scale
+        reward_sum2 = f[2 + S:3 + S] + reward
+        i2 = i[0:1] + 1
+        terminal = i2 >= max_step
+        bonus = (reward_sum2 / i2.astype(jnp.float32)) / (1.0 - gamma)
+        reward_out = jnp.where(terminal, reward + bonus, reward)
+        cum2 = jnp.where(terminal, total / initial_amount * 100.0,
+                         f[3 + S:4 + S])
+        trunc = jnp.zeros_like(terminal)
+        f2 = jnp.concatenate([amount, shares2, total, reward_sum2, cum2],
+                             axis=0)
+        scal2 = jnp.where(day2 >= max_step, 0, day2)
+        return f2, i2, reward_out, terminal, trunc, (scal2,)
+
+    def reset(f, i, u, done, fetch):
+        close0_col = _row_to_col(fetch(0, 0))        # day-0 prices (S, 1)
+        if if_random_reset:
+            amount0 = initial_amount * (u[0:1] * 0.5 + 0.75)
+            r = jnp.sqrt(-2.0 * jnp.log(1.0 - u[1:1 + n_pairs]))
+            ang = _TWO_PI * u[1 + n_pairs:1 + 2 * n_pairs]
+            z = jnp.concatenate([r * jnp.cos(ang), r * jnp.sin(ang)],
+                                axis=0)[0:S]
+            shares0 = jnp.floor(jnp.abs(jnp.clip(z, -2.0, 2.0))) * 2.0 ** 7
+        else:
+            amount0 = jnp.full_like(u[0:1], initial_amount)
+            shares0 = jnp.zeros((S, u.shape[1]), jnp.float32)
+        total0 = (jnp.sum(close0_col * shares0, axis=0, keepdims=True)
+                  + amount0)
+        zero = jnp.zeros_like(amount0)
+        fresh = jnp.concatenate([amount0, shares0, total0, zero, zero],
+                                axis=0)
+        f2 = jnp.where(done, fresh, f)
+        i2 = jnp.where(done, 0, i[0:1])
+        return f2, i2
+
+    return KernelEnvBody(
+        env_name='StockTradingEnv-v2', state_dim=state_dim, action_dim=S,
+        n_f32=4 + S, n_i32=1, n_reset=n_reset, n_step=0,
+        pack=pack, unpack=unpack, obs=obs, step=step, reset=reset,
+        tables=(close, tech), scalar_init=scalar_init)
+
+
 # ------------------------------------------------------------- the kernel
 
 def _make_kernel(body: KernelEnvBody, chunk: int, n_chunks: int, block: int,
@@ -431,7 +589,12 @@ def _make_kernel(body: KernelEnvBody, chunk: int, n_chunks: int, block: int,
     NZ = ((A if discrete else 2 * A) + body.n_step + body.n_reset
           if internal_rng else A + body.n_step + body.n_reset)
 
+    n_tabs = len(body.tables)
+    extended = n_tabs > 0
+
     def kernel(*refs):
+        tab_refs = refs[2:2 + n_tabs]
+        rest = refs[:2] + refs[2 + n_tabs:]
         if internal_rng:
             (f_ref, i_ref, seed_ref,
              avg_ref, nstd_ref,
@@ -439,7 +602,7 @@ def _make_kernel(body: KernelEnvBody, chunk: int, n_chunks: int, block: int,
              c1_ref, cb1_ref, c2_ref, cb2_ref, cv_ref, cbv_ref,
              std_ref,
              states_o, actions_o, logp_o, rew_o, term_o, trunc_o, val_o,
-             f_o, i_o, f_s, i_s) = refs
+             f_o, i_o, f_s, i_s) = rest
             noise_ref = None
         else:
             (f_ref, i_ref,
@@ -449,7 +612,9 @@ def _make_kernel(body: KernelEnvBody, chunk: int, n_chunks: int, block: int,
              c1_ref, cb1_ref, c2_ref, cb2_ref, cv_ref, cbv_ref,
              std_ref,
              states_o, actions_o, logp_o, rew_o, term_o, trunc_o, val_o,
-             f_o, i_o, f_s, i_s) = refs
+             f_o, i_o, f_s, i_s) = rest
+        fetch = (lambda ti, day: tab_refs[ti][pl.ds(day, 1), :]) \
+            if extended else None
         c = pl.program_id(1)
         if internal_rng:
             # one seed per (key, block): mix the block id into word 0 with a
@@ -486,8 +651,9 @@ def _make_kernel(body: KernelEnvBody, chunk: int, n_chunks: int, block: int,
             return jnp.dot(wo, h, preferred_element_type=jnp.float32) + bo
 
         def step(t, carry):
-            f, i = carry                                   # state rows
-            x = body.obs(f, i)                             # (S, B)
+            f, i, scal = carry                             # state rows
+            x = (body.obs(f, i, scal, fetch) if extended
+                 else body.obs(f, i))                      # (S, B)
             if quantize:  # storage-precision round BEFORE acting
                 x = x.astype(jnp.bfloat16).astype(jnp.float32)
             states_o[pl.ds(t, 1)] = x[None]
@@ -531,15 +697,25 @@ def _make_kernel(body: KernelEnvBody, chunk: int, n_chunks: int, block: int,
             logp_o[pl.ds(t, 1)] = logp
             u_step = u_env[0:body.n_step]
             u_reset = u_env[body.n_step:body.n_step + body.n_reset]
-            f2, i2, reward, terminal, trunc = body.step(f, i, env_a, u_step)
+            if extended:
+                f2, i2, reward, terminal, trunc, scal2 = body.step(
+                    f, i, env_a, u_step, scal, fetch)
+            else:
+                f2, i2, reward, terminal, trunc = body.step(f, i, env_a,
+                                                            u_step)
+                scal2 = scal
             rew_o[pl.ds(t, 1)] = reward * reward_scale
             term_o[pl.ds(t, 1)] = terminal.astype(jnp.float32)
             trunc_o[pl.ds(t, 1)] = trunc.astype(jnp.float32)
             done = terminal | trunc
-            f2, i2 = body.reset(f2, i2, u_reset, done)
-            return f2, i2
+            if extended:
+                f2, i2 = body.reset(f2, i2, u_reset, done, fetch)
+            else:
+                f2, i2 = body.reset(f2, i2, u_reset, done)
+            return f2, i2, scal2
 
-        f, i = jax.lax.fori_loop(0, CH, step, (f_s[:], i_s[:]))
+        scal0 = body.scalar_init(i_s) if extended else ()
+        f, i, _ = jax.lax.fori_loop(0, CH, step, (f_s[:], i_s[:], scal0))
         f_s[:], i_s[:] = f, i
 
         @pl.when(c == n_chunks - 1)
@@ -595,6 +771,7 @@ def make_fused_rollout(body: KernelEnvBody, net_dims, horizon_len: int,
                                    memory_space=pltpu.VMEM)]
     in_specs = [
         env_f_spec, env_i_spec,
+        *[full(t.shape) for t in body.tables],
         *noise_spec,
         full((S, 1)), full((S, 1)),                   # avg, nstd
         full((D1, S)), full((D1, 1)), full((D2, D1)), full((D2, 1)),
@@ -667,6 +844,7 @@ def make_fused_rollout(body: KernelEnvBody, net_dims, horizon_len: int,
         (states_t, actions_t, logprobs, rewards, terms, truncs, values,
          f1, i1) = call(
             f0, i0.reshape(I, -1).astype(jnp.int32),
+            *body.tables,
             noise,
             col(agent_state.norm_avg), col(agent_state.norm_std),
             w1.T, col(b1), w2.T, col(b2), wa.T, col(ba),
@@ -687,7 +865,15 @@ def make_fused_rollout(body: KernelEnvBody, net_dims, horizon_len: int,
             extras={'values': values,
                     'tsn': jnp.zeros((H, 0), jnp.float32)})
         env_state2 = body.unpack(f1, i1, env_state)
-        last_obs = body.obs(f1, i1.astype(jnp.int32)).T    # (N, S)
+        i1 = i1.astype(jnp.int32)
+        if body.tables:
+            # host-side fetch: dynamic slice over the value tables; scal is
+            # the lane-uniform scalar row (lane 0 of the i32 carry)
+            fetch = lambda ti, day: jax.lax.dynamic_slice_in_dim(  # noqa
+                body.tables[ti], day, 1, axis=0)
+            last_obs = body.obs(f1, i1, (i1[0, 0],), fetch).T   # (N, S)
+        else:
+            last_obs = body.obs(f1, i1).T                       # (N, S)
         return rollout, env_state2, last_obs
 
     return rollout_fn

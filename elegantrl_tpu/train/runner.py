@@ -102,7 +102,8 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
     interpret = (mode == 'interpret')
     spec = env.spec
     from ..ops.pallas_rollout import KERNEL_ENV_BODIES, make_fused_rollout
-    body = KERNEL_ENV_BODIES.get(spec.env_name)
+    body = (getattr(env, 'kernel_body', None)
+            or KERNEL_ENV_BODIES.get(spec.env_name))
     if body is not None and (body.state_dim != spec.state_dim
                              or body.action_dim != spec.action_dim):
         body = None   # e.g. PointChasing with dim != 2: body is dim-fixed
@@ -126,6 +127,8 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
     S, A = body.state_dim, body.action_dim
     noise_rows = (A + body.n_step + body.n_reset) if interpret else 0
     rows = S + (1 if spec.if_discrete else A) + 5 + noise_rows
+    # VMEM-resident market tables (StockTrading) eat into the block budget
+    tab_bytes = sum(int(t.size) * 4 for t in body.tables)
     # 2048-wide blocks measured fastest on every registered env body at
     # 4096 envs (Pendulum 388->413M, CartPole 377->414M, HopperSlip
     # 302->311M env-steps/s full-round; 4096-wide was slightly below 2048)
@@ -139,7 +142,7 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
             continue
         ch = next((c for c in (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
                    if c <= horizon_len and horizon_len % c == 0
-                   and rows * c * b * 4 <= 4 * 2 ** 20), None)
+                   and rows * c * b * 4 <= 4 * 2 ** 20 - tab_bytes), None)
         if ch is not None and (block is None or ch * 4 >= chunk):
             # prefer wider blocks unless the chunk collapses (>4x shorter)
             block, chunk = b, ch

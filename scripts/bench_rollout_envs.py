@@ -78,7 +78,7 @@ def main():
     from elegantrl_tpu.agents import AgentDiscretePPO, AgentPPO
     from elegantrl_tpu.envs import (CartPoleEnv, HopperEnv, PendulumEnv,
                                     PointChasingDiscreteEnv,
-                                    PointChasingVecEnv)
+                                    PointChasingVecEnv, StockTradingVecEnv)
 
     rows = [
         ('Pendulum-v1', PendulumEnv, AgentPPO,
@@ -97,6 +97,9 @@ def main():
          AgentDiscretePPO,
          {'env_name': 'PointChasingDiscreteEnv', 'max_step': 1024,
           'state_dim': 8, 'action_dim': 9, 'if_discrete': True}),
+        ('StockTradingEnv-v2', StockTradingVecEnv, AgentPPO,
+         {'env_name': 'StockTradingEnv-v2', 'max_step': 1112,
+          'state_dim': 151, 'action_dim': 15, 'if_discrete': False}),
     ]
     print(f"| num_envs={NUM_ENVS} horizon={HORIZON} rounds={ROUNDS} "
           f"batch={BATCH} net=(64,64) repeat=8")

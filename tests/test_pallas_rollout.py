@@ -425,6 +425,118 @@ def test_chasing_discrete_fast_path():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_stock_body_step_parity():
+    """The StockTrading body (tables + scalar-day extension) must reproduce
+    the env module's obs/step exactly — dead-zone, integer lots, sequential
+    cash-constrained trades, cost, delta-asset reward, terminal bonus."""
+    from elegantrl_tpu.envs.stock_trading import make_stock_trading
+    env = make_stock_trading()
+    body = env.kernel_body
+    n = 16
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+    state = jax.vmap(env.init)(keys)
+    # advance a few steps with random actions so shares/cash are non-trivial
+    k = jax.random.PRNGKey(99)
+    for _ in range(3):
+        k, ka, ks = jax.random.split(k, 3)
+        a = jax.random.uniform(ka, (n, env.spec.action_dim), jnp.float32,
+                               -1, 1)
+        state, _, _, _ = jax.vmap(env.step)(state, a,
+                                            jax.random.split(ks, n))
+    f, i = body.pack(state)
+    fetch = lambda ti, day: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+        body.tables[ti], day, 1, axis=0)
+    scal = (i[0, 0],)
+    # obs parity
+    obs_body = body.obs(f, i, scal, fetch)
+    obs_env = jax.vmap(env.obs)(state)
+    np.testing.assert_allclose(np.asarray(obs_body.T), np.asarray(obs_env),
+                               rtol=1e-6, atol=1e-7)
+    # step parity
+    act = jax.random.uniform(jax.random.PRNGKey(2),
+                             (n, env.spec.action_dim), jnp.float32,
+                             -0.99, 0.99)
+    u = jnp.zeros((0, n), jnp.float32)
+    f2, i2, rew, term, trunc, scal2 = body.step(f, i, act.T, u, scal, fetch)
+    s2, rew_e, term_e, trunc_e = jax.vmap(env.step)(
+        state, act, jax.random.split(jax.random.PRNGKey(3), n))
+    f2_e, i2_e = body.pack(s2)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f2_e),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(i2[0]), np.asarray(i2_e[0]))
+    # reward is the cancellation-prone delta of ~1e6 totals scaled by 2^-12;
+    # the body's lane-dim reduction tree can differ from the env's sublane-dim
+    # one by one f32 ulp of the total: ulp(1e6) * 2^-12 ~= 1.5e-5
+    np.testing.assert_allclose(np.asarray(rew[0]), np.asarray(rew_e),
+                               rtol=1e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(term[0]) > 0, np.asarray(term_e))
+    assert int(scal2[0]) == int(np.asarray(i2_e[0])[0])
+    # terminal-step parity: bonus + cumulative_returns recording + day wrap
+    T = body.tables[0].shape[0]
+    state_end = state._replace(day=jnp.full((n,), T - 2, jnp.int32))
+    f, i = body.pack(state_end)
+    scal = (i[0, 0],)
+    f2, i2, rew, term, trunc, scal2 = body.step(f, i, act.T, u, scal, fetch)
+    s2, rew_e, term_e, _ = jax.vmap(env.step)(
+        state_end, act, jax.random.split(jax.random.PRNGKey(3), n))
+    assert np.all(np.asarray(term[0]) > 0) and np.all(np.asarray(term_e))
+    np.testing.assert_allclose(np.asarray(rew[0]), np.asarray(rew_e),
+                               rtol=1e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(f2[3 + env.spec.action_dim]),
+                               np.asarray(s2.cumulative_returns),
+                               rtol=1e-5, atol=1e-5)
+    assert int(scal2[0]) == 0
+
+
+def test_stock_fast_path():
+    """Interpret-mode StockTrading rollout: logprob/value parity from
+    stored states/actions, day-counter bookkeeping through the chunked
+    grid, and the stored market rows must equal the table rows for the
+    (shared) day sequence."""
+    from elegantrl_tpu.envs.stock_trading import make_stock_trading
+    env = make_stock_trading()
+    body = env.kernel_body
+    S_dim, A_dim = env.spec.state_dim, env.spec.action_dim
+    args = Config()
+    args.net_dims = NET_DIMS
+    agent = make_ppo(NET_DIMS, S_dim, A_dim, args)
+    s = agent.init(jax.random.PRNGKey(0))
+    n, h = 8, 12
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    env_state = jax.vmap(env.init)(keys)
+    obs = jax.vmap(env.obs)(env_state)
+    fast = make_fused_rollout(body, NET_DIMS, h, n, 1.0,
+                              discrete=False, block=8, chunk=4,
+                              interpret=True)
+    ro, es2, obs2 = fast(s, env_state, obs, jax.random.PRNGKey(3))
+    assert ro.states.shape == (h, S_dim, n)
+    assert ro.actions.shape == (h, A_dim, n)
+    states = jnp.moveaxis(ro.states, 1, 2).reshape(-1, S_dim)
+    actions = jnp.moveaxis(ro.actions, 1, 2).reshape(-1, A_dim)
+    mean = mlp_apply(s.act['mlp'],
+                     _norm_state(states, s.norm_avg, s.norm_std))
+    std = jnp.exp(s.act['std_log'])
+    lp = jnp.sum(normal_logprob(actions, mean, std), axis=-1)
+    np.testing.assert_allclose(np.asarray(lp.reshape(h, n)),
+                               np.asarray(ro.logprobs), rtol=2e-4, atol=2e-4)
+    # stored market rows: day starts at 0 and increments each step, so
+    # states[t, 1+2A:, :] must equal the (lane-broadcast) table rows
+    close, tech = body.tables
+    for t in range(h):
+        np.testing.assert_allclose(
+            np.asarray(ro.states[t, 1 + A_dim:1 + 2 * A_dim, 0]),
+            np.asarray(close[t] * 2.0 ** -7), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ro.states[t, 1 + 2 * A_dim:, 0]),
+            np.asarray(tech[t] * 2.0 ** -6), rtol=1e-6)
+    # final env state: day advanced h steps, no terminal hit
+    np.testing.assert_array_equal(np.asarray(es2.day),
+                                  np.full(n, h, np.int32))
+    np.testing.assert_allclose(np.asarray(obs2),
+                               np.asarray(jax.vmap(env.obs)(es2)),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_chunked_equals_unchunked():
     """Time-chunked grid (chunk < horizon) must produce the same rollout as
     one chunk given the same external noise (interpret mode)."""
