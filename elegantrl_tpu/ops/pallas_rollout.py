@@ -879,6 +879,60 @@ def make_fused_rollout(body: KernelEnvBody, net_dims, horizon_len: int,
     return rollout_fn
 
 
+def make_sharded_fused_rollout(body: KernelEnvBody, net_dims,
+                               horizon_len: int, num_envs: int,
+                               reward_scale: float, mesh, discrete: bool,
+                               store_dtype=None, block: int = 1024,
+                               chunk: int = None, interpret: bool = False):
+    """Mesh-DP wrapper for the fused rollout kernel: ``shard_map`` over the
+    mesh's first axis, each device running the single-chip kernel on its
+    ``num_envs / mesh.size`` env shard.
+
+    Env lanes are fully independent (the kernel never communicates across
+    lanes), so sharding the env axis is exact — the only cross-shard concern
+    is RNG, handled by folding ``axis_index`` into the rollout key per shard
+    (each device draws a distinct stream; same recipe as the scan path's
+    implicit per-lane streams).  Outputs keep the kernel-native transposed
+    layout with the env axis LAST, so rollout tensors shard on their trailing
+    dim and flow straight into the jitted mesh-DP update half (XLA inserts
+    the cross-shard gathers for global minibatch sampling, exactly as it
+    does for the scan path — parallel/mesh.py).
+
+    Replaces the reference's per-GPU Worker processes + pipe all-to-all
+    (elegantrl/train/run.py:165-202): same semantics (every learner sees
+    all data), ICI collectives instead of pickled pipes.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..agents.base import Rollout
+
+    axis = mesh.axis_names[0]
+    ndev = int(math.prod(mesh.devices.shape))
+    if num_envs % ndev:
+        raise ValueError(f'num_envs={num_envs} not divisible by mesh size '
+                         f'{ndev}')
+    local = make_fused_rollout(body, net_dims, horizon_len,
+                               num_envs // ndev, reward_scale,
+                               discrete=discrete, store_dtype=store_dtype,
+                               block=block, chunk=chunk, interpret=interpret)
+
+    def shard_fn(agent_state, env_state, obs, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return local(agent_state, env_state, obs, key)
+
+    env_sp = P(axis)                       # leading env axis on every leaf
+    ro_sp = Rollout(
+        states=P(None, None, axis),
+        actions=P(None, axis) if discrete else P(None, None, axis),
+        logprobs=P(None, axis), rewards=P(None, axis),
+        undones=P(None, axis), unmasks=P(None, axis),
+        extras={'values': P(None, axis), 'tsn': P(None, axis)})
+    return shard_map(shard_fn, mesh=mesh,
+                     in_specs=(P(), env_sp, env_sp, P()),
+                     out_specs=(ro_sp, env_sp, env_sp),
+                     check_vma=False)
+
+
 def make_pendulum_ppo_rollout(net_dims, horizon_len: int, num_envs: int,
                               reward_scale: float, store_dtype=None,
                               block: int = 1024, chunk: int = None,

@@ -85,20 +85,31 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
                           store_dtype, mesh):
     """Auto-select the fused whole-rollout Pallas kernel
     (``ops/pallas_rollout.py``) when the workload matches its scope:
-    (Discrete)PPO with a 2-hidden-layer MLP on an env with a registered
-    kernel body (Pendulum, CartPole, HopperSlip, PointChasing cont+disc),
-    single chip on a real TPU.  Long horizons run time-chunked (env state carried in VMEM
-    scratch), so the reference-demo-shaped horizon-2048 config qualifies.
+    (Discrete)PPO with a 2-hidden-layer MLP on an env with a kernel body
+    (registry: Pendulum, CartPole, HopperSlip, PointChasing cont+disc;
+    instance-attached via ``EnvDef.kernel_body``: StockTrading), on a real
+    TPU — single chip, or shard_mapped over a single-axis mesh (one kernel
+    instance per device on its env shard).  Long horizons run time-chunked
+    (env state carried in VMEM scratch), so the reference-demo-shaped
+    horizon-2048 config qualifies.
     ``args.use_pallas_rollout``: 'auto' (default) | True | False |
     'interpret' (CPU tests)."""
     mode = getattr(args, 'use_pallas_rollout', 'auto')
     if mode in (False, 'false', '0'):
         return None
+    n_shards = 1
     if mesh is not None:
-        if mode is True:   # explicit request must not silently fall back
-            raise ValueError('use_pallas_rollout=True is single-chip only '
-                             '(mesh training uses the generic scan path)')
-        return None
+        # mesh DP: shard_map the kernel over the first mesh axis — each
+        # device runs the single-chip kernel on its env shard
+        # (ops/pallas_rollout.py:make_sharded_fused_rollout)
+        n_shards = int(np.prod(mesh.devices.shape))
+        if len(mesh.axis_names) != 1 or num_envs % n_shards:
+            if mode is True:
+                raise ValueError(
+                    'use_pallas_rollout=True under a mesh needs a single '
+                    f'mesh axis and num_envs % {n_shards} == 0 '
+                    f'(got axes={mesh.axis_names}, num_envs={num_envs})')
+            return None
     interpret = (mode == 'interpret')
     spec = env.spec
     from ..ops.pallas_rollout import KERNEL_ENV_BODIES, make_fused_rollout
@@ -137,10 +148,19 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
     if forced:   # tuning override: exact env-block width
         sizes = (int(forced),)
     block, chunk = None, None
+    # Mosaic block-shape rule: the (chunk, block) output specs need the
+    # sublane (chunk) dim % 8 == 0 unless the block covers the whole array
+    # (chunk == horizon).  Interpret mode has no such constraint.
+    cands = [c for c in (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+             if interpret or c % 8 == 0]
+    if horizon_len not in cands:
+        cands.insert(0, horizon_len)
+    cands.sort(reverse=True)
+    envs_local = num_envs // n_shards     # per-device env count under a mesh
     for b in sizes:
-        if num_envs % b or b > num_envs:
+        if envs_local % b or b > envs_local:
             continue
-        ch = next((c for c in (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+        ch = next((c for c in cands
                    if c <= horizon_len and horizon_len % c == 0
                    and rows * c * b * 4 <= 4 * 2 ** 20 - tab_bytes), None)
         if ch is not None and (block is None or ch * 4 >= chunk):
@@ -151,7 +171,7 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
         if mode is True:
             raise ValueError(
                 f'use_pallas_rollout=True: no (block, chunk) fits VMEM for '
-                f'num_envs={num_envs}, horizon_len={horizon_len}')
+                f'num_envs={envs_local}/device, horizon_len={horizon_len}')
         return None
     if not interpret and jax.devices()[0].platform != 'tpu':
         if mode is True:   # explicit request must not silently fall back
@@ -160,8 +180,16 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
                 f'(current backend: {jax.devices()[0].platform}); use '
                 "use_pallas_rollout='interpret' for CPU testing")
         return None
+    shard_note = f", sharded x{n_shards}" if mesh is not None else ""
     print("| build_training: pallas fused-rollout fast path enabled "
-          f"(env={spec.env_name}, block={block}, chunk={chunk})", flush=True)
+          f"(env={spec.env_name}, block={block}, chunk={chunk}{shard_note})",
+          flush=True)
+    if mesh is not None:
+        from ..ops.pallas_rollout import make_sharded_fused_rollout
+        return make_sharded_fused_rollout(
+            body, tuple(args.net_dims), horizon_len, num_envs, reward_scale,
+            mesh, discrete=bool(spec.if_discrete), store_dtype=store_dtype,
+            block=block, chunk=chunk, interpret=interpret)
     return make_fused_rollout(
         body, tuple(args.net_dims), horizon_len, num_envs, reward_scale,
         discrete=bool(spec.if_discrete), store_dtype=store_dtype,

@@ -22,6 +22,7 @@ from functools import partial  # noqa: E402
 
 NUM_ENVS = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 HORIZON = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+ONLY = sys.argv[3] if len(sys.argv) > 3 else None   # env-name substring
 ROUNDS = 100
 BATCH = 512
 
@@ -106,6 +107,8 @@ def main():
     print(f"| {'env':26s} {'scan (M/s)':>11s} {'fused (M/s)':>12s} "
           f"{'speedup':>8s}")
     for name, env_class, agent_class, env_args in rows:
+        if ONLY and ONLY not in name:
+            continue
         slow = bench(env_class, env_args, agent_class, False)
         fast = bench(env_class, env_args, agent_class, True)
         print(f"| {name:26s} {slow / 1e6:11.1f} {fast / 1e6:12.1f} "
