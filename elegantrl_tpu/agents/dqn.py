@@ -155,7 +155,121 @@ def make_dqn(net_dims, state_dim: int, action_dim: int, args,
         return (DQNState(q, q_target, opt), buf_state,
                 (obj_critic, obj_actor, jnp.ones(())))
 
-    update = make_offpolicy_update(batch_size, repeat_times, objectives)
+    # Fused whole-chunk Pallas update (ops/pallas_update.py:
+    # make_dqn_fused_chunk): 16 sequential minibatch updates per kernel op,
+    # params + target + Adam moments VMEM-resident, minibatches pre-gathered
+    # with the scan path's exact ids.  The dynamic off-policy trip count
+    # rides an outer fori_loop over chunks.  args.use_pallas_update:
+    # 'auto' (default) | True | False | 'interpret' (CPU tests).
+    pallas_update_mode = getattr(args, 'use_pallas_update', 'auto')
+    _FUSED_CHUNK = 16
+
+    def _fused_update():
+        mode = pallas_update_mode
+        if mode in (False, 'false', '0') or buffer is None:
+            return None
+        interpret = (mode == 'interpret')
+        f32_storage = getattr(buffer, 'storage_dtype', jnp.float32) in (
+            jnp.float32, 'float32')
+        eligible = (not if_use_per and lambda_fit_cum_r == 0.0
+                    and len(net_dims) == 2
+                    and batch_size % 128 == 0 and batch_size <= 2048
+                    and f32_storage)
+        if not eligible:
+            if mode is True:
+                raise ValueError(
+                    'use_pallas_update=True (DQN family) requires uniform '
+                    'sampling (no PER), lambda_fit_cum_r=0, a 2-hidden-'
+                    'layer net, f32 storage, and batch_size a multiple of '
+                    f'128 and <= 2048 (got batch_size={batch_size}, '
+                    f'net_dims={net_dims}, if_use_per={if_use_per})')
+            return None
+        if not interpret and jax.devices()[0].platform != 'tpu':
+            if mode is True:
+                raise ValueError(
+                    'use_pallas_update=True: Mosaic kernels need a real TPU '
+                    f'(current backend: {jax.devices()[0].platform}); use '
+                    "use_pallas_update='interpret' for CPU testing")
+            return None
+        from ..ops.pallas_update import (_adam_parts, _from_kernel,
+                                         _to_kernel, _with_adam_parts,
+                                         dqn_flatten, dqn_unflatten,
+                                         make_dqn_fused_chunk)
+        C = _FUSED_CHUNK
+        chunk_fn = make_dqn_fused_chunk(
+            state_dim, action_dim, batch_size, C, gamma=gamma, tau=tau,
+            lr=lr, clip_grad=clip_grad, twin=twin, duel=duel,
+            interpret=interpret)
+        N = buffer.num_seqs
+
+        def update(s: DQNState, buf_state, key):
+            size = buf_state.size
+            update_times = jnp.maximum(
+                (size.astype(jnp.float32) * repeat_times
+                 / batch_size).astype(jnp.int32), 1)
+            n_chunks = (update_times + C - 1) // C
+            count0, mu_tree, nu_tree = _adam_parts(s.opt)
+            leaves = dqn_flatten(s.q, twin, duel)
+            shapes = [x.shape for x in leaves]
+            p = tuple(_to_kernel(x) for x in leaves)
+            t = tuple(_to_kernel(x)
+                      for x in dqn_flatten(s.q_target, twin, duel))
+            mu = tuple(_to_kernel(x) for x in dqn_flatten(mu_tree, twin, duel))
+            nu = tuple(_to_kernel(x) for x in dqn_flatten(nu_tree, twin, duel))
+            states2d = buf_state.states.reshape(-1, state_dim)
+            acts1d = buf_state.actions.reshape(-1)
+            rew1d = buf_state.rewards.reshape(-1)
+            ud1d = buf_state.undones.reshape(-1)
+            um1d = buf_state.unmasks.reshape(-1)
+            sample_len = jnp.maximum(size - 1, 1)
+
+            def chunk_body(ci, carry):
+                p, t, mu, nu, sums = carry
+                idx = ci * C + jnp.arange(C)
+                # the scan path's exact ids: fold_in per update index, then
+                # one uniform randint draw (replay_buffer.py:sample)
+                keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+                ids = jax.vmap(lambda k: jax.random.randint(
+                    k, (batch_size,), 0, sample_len * N))(keys)
+                ids0 = ids % sample_len
+                ids1 = ids // sample_len
+                flat = ids0 * N + ids1                        # (C, B)
+                sb = jnp.take(states2d, flat, axis=0)         # (C, B, S)
+                nsb = jnp.take(states2d, flat + N, axis=0)    # ids0+1 seam
+                oh = jax.nn.one_hot(jnp.take(acts1d, flat), action_dim,
+                                    axis=1, dtype=jnp.float32)  # (C, A, B)
+                rb = jnp.take(rew1d, flat)[:, None, :]
+                ud = jnp.take(ud1d, flat)[:, None, :]
+                um = jnp.take(um1d, flat)[:, None, :]
+                steps = (count0.astype(jnp.float32)
+                         + idx.astype(jnp.float32) + 1.0)
+                valid = (idx < update_times).astype(jnp.float32)
+                bcv = jnp.stack([1.0 - jnp.power(0.9, steps),
+                                 1.0 - jnp.power(0.999, steps),
+                                 valid], axis=1)              # (C, 3)
+                p, t, mu, nu, objs = chunk_fn(
+                    p, t, mu, nu, sb.transpose(0, 2, 1),
+                    nsb.transpose(0, 2, 1), oh, rb, ud, um, bcv)
+                sums = sums + jnp.stack([jnp.sum(objs[:, 0] * valid),
+                                         jnp.sum(objs[:, 1] * valid)])
+                return p, t, mu, nu, sums
+
+            p, t, mu, nu, sums = jax.lax.fori_loop(
+                0, n_chunks, chunk_body, (p, t, mu, nu, jnp.zeros(2)))
+            back = lambda xs: dqn_unflatten(
+                [_from_kernel(x, sh) for x, sh in zip(xs, shapes)],
+                twin, duel)
+            opt = _with_adam_parts(s.opt, count0 + update_times,
+                                   back(mu), back(nu))
+            nf = update_times.astype(jnp.float32)
+            metrics = {'obj_critic': sums[0] / nf,
+                       'obj_actor': sums[1] / nf}
+            return DQNState(back(p), back(t), opt), buf_state, metrics
+
+        return update
+
+    update = _fused_update() or make_offpolicy_update(
+        batch_size, repeat_times, objectives)
 
     def cum_returns(s: DQNState, rollout, last_obs):
         # bootstrap with max_a Q_target(last_obs) (the reference's DQN variant

@@ -342,3 +342,224 @@ def make_ppo_fused_update(state_dim: int, action_dim: int, batch_size: int,
         return new_act, new_cri, new_act_opt, new_cri_opt, metrics
 
     return fused
+
+
+# ------------------------------------------------------- DQN-family chunk
+
+def dqn_flatten(q: dict, twin: bool, duel: bool):
+    """Canonical kernel leaf order for the DQN-family param dict
+    (agents/dqn.py:init): plain -> the 3-layer mlp's 6 leaves; enc variants
+    -> enc(4) + val1(2) [+ adv1(2)] [+ val2(2) [+ adv2(2)]]."""
+    if not (twin or duel):
+        return [x for pair in q['mlp'] for x in pair]
+    leaves = [x for pair in q['enc'] for x in pair]
+    leaves += list(q['val1'][0])
+    if duel:
+        leaves += list(q['adv1'][0])
+    if twin:
+        leaves += list(q['val2'][0])
+        if duel:
+            leaves += list(q['adv2'][0])
+    return leaves
+
+
+def dqn_unflatten(leaves, twin: bool, duel: bool) -> dict:
+    """Inverse of ``dqn_flatten``."""
+    pairs = [(leaves[i], leaves[i + 1]) for i in range(0, len(leaves), 2)]
+    if not (twin or duel):
+        return {'mlp': pairs[:3]}
+    q = {'enc': pairs[:2]}
+    i = 2
+    q['val1'] = [pairs[i]]; i += 1
+    if duel:
+        q['adv1'] = [pairs[i]]; i += 1
+    if twin:
+        q['val2'] = [pairs[i]]; i += 1
+        if duel:
+            q['adv2'] = [pairs[i]]; i += 1
+    return q
+
+
+def make_dqn_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
+                         chunk_updates: int, *, gamma: float, tau: float,
+                         lr: float, clip_grad: float, twin: bool, duel: bool,
+                         b1: float = 0.9, b2: float = 0.999,
+                         eps: float = 1e-8, interpret: bool = False):
+    """Fused DQN-family SGD chunk: ``chunk_updates`` sequential minibatch
+    updates (TD target vs the soft-updated target net, Adam step, Polyak)
+    in ONE Pallas op, params/targets/moments VMEM-resident across the chunk.
+
+    The off-policy trip count is DYNAMIC (``update_times = size *
+    repeat_times / batch_size`` grows with the buffer, reference
+    AgentBase.py:172-189), so unlike the PPO kernel this one processes a
+    fixed chunk and the caller drives a dynamic ``fori_loop`` over chunks,
+    pre-gathering each chunk's minibatches with the scan path's exact ids
+    (one batched XLA gather per tensor) — see agents/dqn.py:_fused_update.
+    Steps past ``update_times`` are masked in-kernel via the SMEM valid
+    flag (a no-op select on every carried leaf).
+
+    TD math mirrors agents/dqn.py:objectives exactly per variant flag —
+    plain max / DoubleDQN min-of-twins / Dueling's value-head-only TD path
+    / D3QN's combine (reference AgentDQN.py:46-47,107-108,214-217,258-263).
+
+    Returns ``chunk(p, t, mu, nu, sb, nsb, oh, rb, ud, um, bcv)`` over
+    kernel-layout leaf tuples; ``bcv`` is an SMEM ``(C, 3)`` table of
+    per-step (adam bc1, bc2, valid).
+    """
+    C, B = int(chunk_updates), int(batch_size)
+    S, A = int(state_dim), int(action_dim)
+    n_l = 6 if not (twin or duel) else 6 + 2 * (int(twin) + int(duel)
+                                                + int(twin and duel))
+
+    def adam_step(params, mus, nus, grads, bc1, bc2):
+        # exact optax chain(clip_by_global_norm, adam) — same math as the
+        # PPO kernel's adam_step (kept local: kernels can't share traced
+        # closures across pallas_call bodies)
+        gn = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in grads))
+        scale = jnp.where(gn < clip_grad, 1.0, clip_grad / gn)
+        new_p, new_mu, new_nu = [], [], []
+        for p, mu, nu, g in zip(params, mus, nus, grads):
+            g = g * scale
+            mu = b1 * mu + (1.0 - b1) * g
+            nu = b2 * nu + (1.0 - b2) * jnp.square(g)
+            new_p.append(p - lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps))
+            new_mu.append(mu)
+            new_nu.append(nu)
+        return new_p, new_mu, new_nu
+
+    def mlp3(l, x):
+        """3-layer (S -> D1 -> D2 -> A) in kernel layout, gelu between
+        hidden layers, raw out (ops/nets.py:mlp_apply semantics)."""
+        h = jax.nn.gelu(jnp.dot(l[0], x,
+                                preferred_element_type=jnp.float32) + l[1])
+        h = jax.nn.gelu(jnp.dot(l[2], h,
+                                preferred_element_type=jnp.float32) + l[3])
+        return jnp.dot(l[4], h, preferred_element_type=jnp.float32) + l[5]
+
+    def enc2(l, x):
+        """2-layer encoder, gelu after layer 1 ONLY (mlp_apply on a
+        2-layer stack has no final activation — heads read the raw
+        encoding, agents/dqn.py:_enc)."""
+        h = jax.nn.gelu(jnp.dot(l[0], x,
+                                preferred_element_type=jnp.float32) + l[1])
+        return jnp.dot(l[2], h, preferred_element_type=jnp.float32) + l[3]
+
+    def head(w, b, h):
+        return jnp.dot(w, h, preferred_element_type=jnp.float32) + b
+
+    def combine(val, adv):
+        # dueling combine, transposed: val (A, B), adv (1, B)
+        return val - jnp.mean(val, axis=0, keepdims=True) + adv
+
+    def next_q_fn(t, nx):
+        """max_a of the TD-path target Q — per-variant (agents/dqn.py)."""
+        if not (twin or duel):
+            return jnp.max(mlp3(t, nx), axis=0, keepdims=True)
+        h = enc2(t[:4], nx)
+        v1 = head(t[4], t[5], h)
+        if twin:
+            i = 6
+            if duel:
+                v1 = combine(v1, head(t[6], t[7], h)); i = 8
+            v2 = head(t[i], t[i + 1], h)
+            if duel:
+                v2 = combine(v2, head(t[i + 2], t[i + 3], h))
+            return jnp.max(jnp.minimum(v1, v2), axis=0, keepdims=True)
+        # duel-only TD path reads the value head directly (the reference's
+        # quirky QNetDuel.get_q_value, AgentDQN.py:214-217)
+        return jnp.max(v1, axis=0, keepdims=True)
+
+    def kernel(*refs):
+        (sb_ref, nsb_ref, oh_ref, rb_ref, ud_ref, um_ref, bcv_ref) = refs[:7]
+        p_refs = refs[7:7 + n_l]
+        t_refs = refs[7 + n_l:7 + 2 * n_l]
+        mu_refs = refs[7 + 2 * n_l:7 + 3 * n_l]
+        nu_refs = refs[7 + 3 * n_l:7 + 4 * n_l]
+        out = refs[7 + 4 * n_l:]
+        out_p, out_t = out[:n_l], out[n_l:2 * n_l]
+        out_mu, out_nu = out[2 * n_l:3 * n_l], out[3 * n_l:4 * n_l]
+        objs_ref = out[4 * n_l]
+
+        p0 = tuple(r[:] for r in p_refs)
+        t0 = tuple(r[:] for r in t_refs)
+        mu0 = tuple(r[:] for r in mu_refs)
+        nu0 = tuple(r[:] for r in nu_refs)
+
+        def body(u, carry):
+            p, t, mu, nu = carry
+            x = sb_ref[pl.ds(u, 1)].reshape(S, B)
+            nx = nsb_ref[pl.ds(u, 1)].reshape(S, B)
+            oh = oh_ref[pl.ds(u, 1)].reshape(A, B)
+            r = rb_ref[pl.ds(u, 1)].reshape(1, B)
+            ud = ud_ref[pl.ds(u, 1)].reshape(1, B)
+            um = um_ref[pl.ds(u, 1)].reshape(1, B)
+            bc1, bc2 = bcv_ref[u, 0], bcv_ref[u, 1]
+            valid = bcv_ref[u, 2]
+
+            q_label = r + ud * gamma * next_q_fn(t, nx)      # (1, B)
+
+            def loss_fn(pl_):
+                if not (twin or duel):
+                    qs = mlp3(pl_, x)
+                    q1 = jnp.sum(qs * oh, axis=0, keepdims=True)
+                    td = jnp.square(q1 - q_label) * um
+                    return jnp.mean(td), q1
+                h = enc2(pl_[:4], x)
+                v1 = head(pl_[4], pl_[5], h)
+                if twin:
+                    i = 6
+                    if duel:
+                        v1 = combine(v1, head(pl_[6], pl_[7], h)); i = 8
+                    v2 = head(pl_[i], pl_[i + 1], h)
+                    if duel:
+                        v2 = combine(v2, head(pl_[i + 2], pl_[i + 3], h))
+                    q1 = jnp.sum(v1 * oh, axis=0, keepdims=True)
+                    q2 = jnp.sum(v2 * oh, axis=0, keepdims=True)
+                    td = (jnp.square(q1 - q_label)
+                          + jnp.square(q2 - q_label)) * um
+                    return jnp.mean(td), q1
+                q1 = jnp.sum(v1 * oh, axis=0, keepdims=True)
+                td = jnp.square(q1 - q_label) * um
+                return jnp.mean(td), q1
+
+            (obj_c, q_first), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
+            p2, mu2, nu2 = adam_step(p, mu, nu, grads, bc1, bc2)
+            t2 = [tt * (1.0 - tau) + pp * tau for tt, pp in zip(t, p2)]
+
+            objs_ref[pl.ds(u, 1)] = jnp.concatenate(
+                [obj_c.reshape(1, 1), jnp.mean(q_first).reshape(1, 1)],
+                axis=1)
+            sel = lambda n_, o_: jnp.where(valid > 0, n_, o_)  # noqa: E731
+            return (tuple(map(sel, p2, p)), tuple(map(sel, t2, t)),
+                    tuple(map(sel, mu2, mu)), tuple(map(sel, nu2, nu)))
+
+        p, t, mu, nu = jax.lax.fori_loop(0, C, body, (p0, t0, mu0, nu0))
+        for r_, v in zip(out_p, p):
+            r_[:] = v
+        for r_, v in zip(out_t, t):
+            r_[:] = v
+        for r_, v in zip(out_mu, mu):
+            r_[:] = v
+        for r_, v in zip(out_nu, nu):
+            r_[:] = v
+
+    def chunk(p, t, mu, nu, sb, nsb, oh, rb, ud, um, bcv):
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+        in_specs = ([vmem()] * 6
+                    + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+                    + [vmem()] * (4 * n_l))
+        out_specs = tuple([vmem()] * (4 * n_l + 1))
+        out_shape = tuple(
+            [jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in p] * 4
+            + [jax.ShapeDtypeStruct((C, 2), jnp.float32)])
+        outs = pl.pallas_call(
+            kernel, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(sb, nsb, oh, rb, ud, um, bcv, *p, *t, *mu, *nu)
+        return (tuple(outs[:n_l]), tuple(outs[n_l:2 * n_l]),
+                tuple(outs[2 * n_l:3 * n_l]), tuple(outs[3 * n_l:4 * n_l]),
+                outs[4 * n_l])
+
+    return chunk

@@ -189,3 +189,59 @@ def test_discrete_metrics_match(setup_discrete):
     for k in ('obj_critic', 'obj_actor', 'obj_entropy'):
         np.testing.assert_allclose(float(m_fused[k]), float(m_ref[k]),
                                    rtol=1e-4, atol=1e-6)
+
+
+# ------------------------------------------------- DQN-family fused chunk
+
+@pytest.mark.parametrize("twin,duel", [(False, False), (True, False),
+                                       (False, True), (True, True)])
+def test_dqn_fused_update_parity(twin, duel):
+    """The chunked DQN fused update must reproduce the scan path exactly:
+    same pre-gathered ids by construction, same TD/Adam/Polyak math to f32
+    tolerance — across a partial chunk AND a chunk boundary (20 updates,
+    chunk=16), for all four net variants."""
+    from elegantrl_tpu.agents.dqn import make_dqn
+    from elegantrl_tpu.train.replay_buffer import ReplayBuffer
+
+    S, A, NS, H = 4, 3, 8, 40
+    def mk(mode):
+        args = Config()
+        args.batch_size = 128
+        args.repeat_times = 64.0          # 40 * 64 / 128 = 20 updates
+        args.use_pallas_update = mode
+        buffer = ReplayBuffer(max_size=256, state_dim=S, action_dim=A,
+                              num_seqs=NS, if_discrete=True, args=args)
+        return make_dqn((16, 16), S, A, args, twin=twin, duel=duel,
+                        buffer=buffer), buffer
+
+    agent_ref, buf_ref = mk(False)
+    agent_fused, buf_fused = mk('interpret')
+    s = agent_ref.init(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(5)
+    ks, ka, kr = jax.random.split(k, 3)
+    items = (jax.random.normal(ks, (H, NS, S)),
+             jax.random.randint(ka, (H, NS), 0, A),
+             jax.random.normal(kr, (H, NS)),
+             jnp.ones((H, NS)),
+             jnp.ones((H, NS)))
+    buf0 = buf_ref.update(buf_ref.init(), items)
+    buf0f = buf_fused.update(buf_fused.init(), items)
+
+    k_upd = jax.random.PRNGKey(11)
+    s_ref, _, m_ref = jax.jit(agent_ref.update)(s, buf0, k_upd)
+    s_fus, _, m_fus = jax.jit(agent_fused.update)(s, buf0f, k_upd)
+
+    for old, a, b in zip(jax.tree.leaves((s.q, s.q_target)),
+                         jax.tree.leaves((s_ref.q, s_ref.q_target)),
+                         jax.tree.leaves((s_fus.q, s_fus.q_target))):
+        da, db = np.asarray(a - old), np.asarray(b - old)
+        np.testing.assert_allclose(db, da, rtol=5e-3, atol=1e-7)
+    c_ref, mu_ref, nu_ref = _adam_parts(s_ref.opt)
+    c_fus, mu_fus, nu_fus = _adam_parts(s_fus.opt)
+    assert int(c_ref) == int(c_fus) == 20
+    for a, b in zip(jax.tree.leaves(mu_ref), jax.tree.leaves(mu_fus)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=1e-7)
+    for k_ in ('obj_critic', 'obj_actor'):
+        np.testing.assert_allclose(float(m_fus[k_]), float(m_ref[k_]),
+                                   rtol=1e-4, atol=1e-6)
