@@ -201,7 +201,160 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
                          cri_opt=cri_opt)
         return new, buf_state, (obj_critic, obj_actor, a_upd)
 
-    update = make_offpolicy_update(batch_size, repeat_times, objectives)
+    # Fused whole-chunk Pallas update (ops/pallas_update.py:
+    # make_ddpg_fused_chunk): 16 sequential TD3/DDPG minibatch updates per
+    # kernel op — params/targets/moments VMEM-resident, minibatches and the
+    # TD3 smoothing noise pre-drawn with the scan path's exact keys; the
+    # dynamic trip count rides an outer fori_loop over chunks (same shape
+    # as agents/dqn.py:_fused_update).
+    pallas_update_mode = getattr(args, 'use_pallas_update', 'auto')
+    _FUSED_CHUNK = 16
+
+    def _fused_update():
+        mode = pallas_update_mode
+        if mode in (False, 'false', '0') or buffer is None:
+            return None
+        interpret = (mode == 'interpret')
+        f32_storage = getattr(buffer, 'storage_dtype', jnp.float32) in (
+            jnp.float32, 'float32')
+        eligible = (not hterm and not if_use_per
+                    and lambda_fit_cum_r == 0.0
+                    and len(net_dims) == 2
+                    and batch_size % 128 == 0 and batch_size <= 2048
+                    and f32_storage)
+        if not eligible:
+            if mode is True:
+                raise ValueError(
+                    'use_pallas_update=True (DDPG/TD3) requires the non-H-'
+                    'term agent, uniform sampling (no PER), '
+                    'lambda_fit_cum_r=0, a 2-hidden-layer net, f32 storage, '
+                    'and batch_size a multiple of 128 and <= 2048 (got '
+                    f'batch_size={batch_size}, net_dims={net_dims})')
+            return None
+        if not interpret and jax.devices()[0].platform != 'tpu':
+            if mode is True:
+                raise ValueError(
+                    'use_pallas_update=True: Mosaic kernels need a real TPU '
+                    f'(current backend: {jax.devices()[0].platform}); use '
+                    "use_pallas_update='interpret' for CPU testing")
+            return None
+        from ..ops.pallas_update import (_adam_parts, _from_kernel,
+                                         _to_kernel, _with_adam_parts,
+                                         make_ddpg_fused_chunk, mlp_flatten,
+                                         mlp_unflatten)
+        C = _FUSED_CHUNK
+        chunk_fn = make_ddpg_fused_chunk(
+            state_dim, action_dim, batch_size, C, gamma=gamma, tau=tau,
+            lr=lr, clip_grad=clip_grad, td3=td3,
+            num_ensembles=num_ensembles, interpret=interpret)
+        N = buffer.num_seqs
+
+        def update(s: DDPGState, buf_state, key):
+            size = buf_state.size
+            update_times = jnp.maximum(
+                (size.astype(jnp.float32) * repeat_times
+                 / batch_size).astype(jnp.int32), 1)
+            n_chunks = (update_times + C - 1) // C
+            ca0, mu_a, nu_a = _adam_parts(s.act_opt)
+            cc0, mu_c, nu_c = _adam_parts(s.cri_opt)
+            a_shapes = [x.shape for x in mlp_flatten(s.act)]
+            c_shapes = [x.shape for x in mlp_flatten(s.cri)]
+            K = lambda t_: tuple(_to_kernel(x) for x in mlp_flatten(t_))
+            pa, pc = K(s.act), K(s.cri)
+            ta, tc = K(s.act_target), K(s.cri_target)
+            mua, muc = K(mu_a), K(mu_c)
+            nua, nuc = K(nu_a), K(nu_c)
+            states2d = buf_state.states.reshape(-1, state_dim)
+            acts2d = buf_state.actions.reshape(-1, action_dim)
+            rew1d = buf_state.rewards.reshape(-1)
+            ud1d = buf_state.undones.reshape(-1)
+            um1d = buf_state.unmasks.reshape(-1)
+            sample_len = jnp.maximum(size - 1, 1)
+            # DDPG gates the actor on buffer warmup (uniform over the round)
+            ddpg_do = (size >= buffer_init_size).astype(jnp.float32)
+
+            def chunk_body(ci, carry):
+                pa, pc, ta, tc, mua, muc, nua, nuc, sums = carry
+                idx = ci * C + jnp.arange(C)
+                # the scan path's exact RNG: fold_in per update index, then
+                # split -> (sample key, TD3 smoothing-noise key)
+                kk = jax.vmap(lambda i: jax.random.split(
+                    jax.random.fold_in(key, i)))(idx)      # (C, 2, key)
+                ids = jax.vmap(lambda k: jax.random.randint(
+                    k, (batch_size,), 0, sample_len * N))(kk[:, 0])
+                ids0 = ids % sample_len
+                ids1 = ids // sample_len
+                flat = ids0 * N + ids1
+                sb = jnp.take(states2d, flat, axis=0)       # (C, B, S)
+                nsb = jnp.take(states2d, flat + N, axis=0)
+                ab = jnp.take(acts2d, flat, axis=0)         # (C, B, A)
+                rb = jnp.take(rew1d, flat)[:, None, :]
+                ud = jnp.take(ud1d, flat)[:, None, :]
+                um = jnp.take(um1d, flat)[:, None, :]
+                if td3:   # actor_noisy's exact draw: std * normal((B, A))
+                    nz = policy_noise_std * jax.vmap(
+                        lambda k: jax.random.normal(
+                            k, (batch_size, action_dim)))(kk[:, 1])
+                    nz = nz.transpose(0, 2, 1)              # (C, A, B)
+                else:
+                    nz = jnp.zeros((C, action_dim, batch_size), jnp.float32)
+                valid = (idx < update_times).astype(jnp.float32)
+                if td3:   # delayed actor every update_freq-th step
+                    do_act = (idx % update_freq == 0).astype(jnp.float32)
+                    # actor Adam count at execution: prior actor steps + 1
+                    n_before = (idx + update_freq - 1) // update_freq
+                    act_step = (ca0.astype(jnp.float32)
+                                + n_before.astype(jnp.float32) + 1.0)
+                else:
+                    do_act = jnp.full((C,), ddpg_do)
+                    act_step = (ca0.astype(jnp.float32)
+                                + idx.astype(jnp.float32) + 1.0)
+                cri_step = (cc0.astype(jnp.float32)
+                            + idx.astype(jnp.float32) + 1.0)
+                bcv = jnp.stack([1.0 - jnp.power(0.9, cri_step),
+                                 1.0 - jnp.power(0.999, cri_step),
+                                 1.0 - jnp.power(0.9, act_step),
+                                 1.0 - jnp.power(0.999, act_step),
+                                 valid, do_act,
+                                 jnp.zeros((C,), jnp.float32)], axis=1)
+                (pa, pc, ta, tc, mua, muc, nua, nuc, objs) = chunk_fn(
+                    pa, pc, ta, tc, mua, muc, nua, nuc,
+                    sb.transpose(0, 2, 1), nsb.transpose(0, 2, 1),
+                    ab.transpose(0, 2, 1), rb, ud, um, nz, bcv)
+                a_upd = valid * do_act
+                sums = sums + jnp.stack([jnp.sum(objs[:, 0] * valid),
+                                         jnp.sum(objs[:, 1] * a_upd),
+                                         jnp.sum(a_upd)])
+                return pa, pc, ta, tc, mua, muc, nua, nuc, sums
+
+            (pa, pc, ta, tc, mua, muc, nua, nuc, sums) = jax.lax.fori_loop(
+                0, n_chunks, chunk_body,
+                (pa, pc, ta, tc, mua, muc, nua, nuc, jnp.zeros(3)))
+            backa = lambda xs: mlp_unflatten(
+                [_from_kernel(x, sh) for x, sh in zip(xs, a_shapes)])
+            backc = lambda xs: mlp_unflatten(
+                [_from_kernel(x, sh) for x, sh in zip(xs, c_shapes)])
+            if td3:
+                n_act_steps = ((update_times + update_freq - 1)
+                               // update_freq)
+            else:
+                n_act_steps = jnp.where(ddpg_do > 0, update_times, 0)
+            act_opt = _with_adam_parts(s.act_opt, ca0 + n_act_steps,
+                                       backa(mua), backa(nua))
+            cri_opt = _with_adam_parts(s.cri_opt, cc0 + update_times,
+                                       backc(muc), backc(nuc))
+            nf = update_times.astype(jnp.float32)
+            metrics = {'obj_critic': sums[0] / nf,
+                       'obj_actor': sums[1] / jnp.maximum(sums[2], 1.0)}
+            new = s._replace(act=backa(pa), act_target=backa(ta),
+                             cri=backc(pc), cri_target=backc(tc),
+                             act_opt=act_opt, cri_opt=cri_opt)
+            return new, buf_state, metrics
+
+        return update
+
+    update = _fused_update() or make_offpolicy_update(
+        batch_size, repeat_times, objectives)
 
     pre_update = None
     if hterm:

@@ -563,3 +563,152 @@ def make_dqn_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
                 outs[4 * n_l])
 
     return chunk
+
+
+# ----------------------------------------------------- DDPG/TD3 chunk
+
+def mlp_flatten(params) -> list:
+    """Flatten an ``ops/nets.py`` MLP param list [(w, b), ...] into the
+    kernel leaf order [w1, b1, w2, b2, ...]."""
+    return [x for pair in params for x in pair]
+
+
+def mlp_unflatten(leaves) -> list:
+    return [(leaves[i], leaves[i + 1]) for i in range(0, len(leaves), 2)]
+
+
+def make_ddpg_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
+                          chunk_updates: int, *, gamma: float, tau: float,
+                          lr: float, clip_grad: float, td3: bool,
+                          num_ensembles: int, b1: float = 0.9,
+                          b2: float = 0.999, eps: float = 1e-8,
+                          interpret: bool = False):
+    """Fused DDPG/TD3 SGD chunk, the off-policy twin of
+    ``make_dqn_fused_chunk``: per step, TD target from the soft-updated
+    target critic with the ONLINE actor's (TD3: noise-smoothed) next action,
+    critic Adam step + Polyak, then the (TD3: delayed) actor step maximizing
+    the fresh critic, all VMEM-resident (agents/ddpg_td3.py:objectives;
+    reference AgentTD3.py:22-60 / AgentDDPG.py).
+
+    Caller pre-gathers minibatches and pre-draws the TD3 target-policy
+    smoothing noise with the scan path's exact keys.  ``bcv`` is an SMEM
+    ``(C, 7)`` table: (bc1_cri, bc2_cri, bc1_act, bc2_act, valid, do_actor,
+    unused).  Returns ``chunk(pa, pc, ta, tc, mua, muc, nua, nuc, sb, nsb,
+    ab, rb, ud, um, nz, bcv)`` -> same leaf groups + ``objs (C, 2)``.
+    """
+    C, B = int(chunk_updates), int(batch_size)
+    S, A, E = int(state_dim), int(action_dim), int(num_ensembles)
+    n_l = 6                       # each net: 3 layers x (w, b)
+
+    def adam_step(params, mus, nus, grads, bc1, bc2):
+        gn = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in grads))
+        scale = jnp.where(gn < clip_grad, 1.0, clip_grad / gn)
+        new_p, new_mu, new_nu = [], [], []
+        for p, mu, nu, g in zip(params, mus, nus, grads):
+            g = g * scale
+            mu = b1 * mu + (1.0 - b1) * g
+            nu = b2 * nu + (1.0 - b2) * jnp.square(g)
+            new_p.append(p - lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps))
+            new_mu.append(mu)
+            new_nu.append(nu)
+        return new_p, new_mu, new_nu
+
+    def mlp3(l, x):
+        h = jax.nn.gelu(jnp.dot(l[0], x,
+                                preferred_element_type=jnp.float32) + l[1])
+        h = jax.nn.gelu(jnp.dot(l[2], h,
+                                preferred_element_type=jnp.float32) + l[3])
+        return jnp.dot(l[4], h, preferred_element_type=jnp.float32) + l[5]
+
+    def kernel(*refs):
+        (sb_ref, nsb_ref, ab_ref, rb_ref, ud_ref, um_ref, nz_ref,
+         bcv_ref) = refs[:8]
+        groups = [refs[8 + i * n_l:8 + (i + 1) * n_l] for i in range(8)]
+        out = refs[8 + 8 * n_l:]
+        out_groups = [out[i * n_l:(i + 1) * n_l] for i in range(8)]
+        objs_ref = out[8 * n_l]
+
+        init = tuple(tuple(r[:] for r in g) for g in groups)
+
+        def body(u, carry):
+            pa, pc, ta, tc, mua, muc, nua, nuc = carry
+            x = sb_ref[pl.ds(u, 1)].reshape(S, B)
+            nx = nsb_ref[pl.ds(u, 1)].reshape(S, B)
+            a = ab_ref[pl.ds(u, 1)].reshape(A, B)
+            r = rb_ref[pl.ds(u, 1)].reshape(1, B)
+            ud = ud_ref[pl.ds(u, 1)].reshape(1, B)
+            um = um_ref[pl.ds(u, 1)].reshape(1, B)
+            nz = nz_ref[pl.ds(u, 1)].reshape(A, B)
+            bc1c, bc2c = bcv_ref[u, 0], bcv_ref[u, 1]
+            bc1a, bc2a = bcv_ref[u, 2], bcv_ref[u, 3]
+            valid, do_act = bcv_ref[u, 4], bcv_ref[u, 5]
+
+            na = jnp.tanh(mlp3(pa, nx))                  # ONLINE actor
+            if td3:                                      # smoothed + clipped
+                na = jnp.clip(na + nz, -1.0, 1.0)
+            nq_all = mlp3(tc, jnp.concatenate([nx, na], axis=0))  # (E, B)
+            if td3:
+                nq = jnp.min(nq_all, axis=0, keepdims=True)
+            else:
+                nq = jnp.mean(nq_all, axis=0, keepdims=True)
+            q_label = r + ud * gamma * nq
+
+            def cri_loss(cl):
+                qs = mlp3(cl, jnp.concatenate([x, a], axis=0))   # (E, B)
+                if td3:
+                    td = jnp.mean(jnp.square(qs - q_label), axis=0,
+                                  keepdims=True) * um
+                else:
+                    q = jnp.mean(qs, axis=0, keepdims=True) * um
+                    td = jnp.square(q - q_label) * um
+                return jnp.mean(td)
+
+            obj_c, g_cri = jax.value_and_grad(cri_loss)(pc)
+            pc2, muc2, nuc2 = adam_step(pc, muc, nuc, g_cri, bc1c, bc2c)
+            tc2 = [t_ * (1.0 - tau) + p_ * tau for t_, p_ in zip(tc, pc2)]
+
+            def act_loss(al):
+                aa = jnp.tanh(mlp3(al, x))
+                q = mlp3(pc2, jnp.concatenate([x, aa], axis=0))  # NEW critic
+                return -jnp.mean(q)
+
+            obj_neg, g_act = jax.value_and_grad(act_loss)(pa)
+            pa2, mua2, nua2 = adam_step(pa, mua, nua, g_act, bc1a, bc2a)
+            ta2 = [t_ * (1.0 - tau) + p_ * tau for t_, p_ in zip(ta, pa2)]
+
+            objs_ref[pl.ds(u, 1)] = jnp.concatenate(
+                [obj_c.reshape(1, 1), (-obj_neg).reshape(1, 1)], axis=1)
+            selc = lambda n_, o_: jnp.where(valid > 0, n_, o_)  # noqa: E731
+            sela = lambda n_, o_: jnp.where(                    # noqa: E731
+                (valid > 0) & (do_act > 0), n_, o_)
+            return (tuple(map(sela, pa2, pa)), tuple(map(selc, pc2, pc)),
+                    tuple(map(sela, ta2, ta)), tuple(map(selc, tc2, tc)),
+                    tuple(map(sela, mua2, mua)), tuple(map(selc, muc2, muc)),
+                    tuple(map(sela, nua2, nua)), tuple(map(selc, nuc2, nuc)))
+
+        final = jax.lax.fori_loop(0, C, body, init)
+        for g_out, g_val in zip(out_groups, final):
+            for r_, v in zip(g_out, g_val):
+                r_[:] = v
+
+    def chunk(pa, pc, ta, tc, mua, muc, nua, nuc,
+              sb, nsb, ab, rb, ud, um, nz, bcv):
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+        in_specs = ([vmem()] * 7
+                    + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+                    + [vmem()] * (8 * n_l))
+        out_specs = tuple([vmem()] * (8 * n_l + 1))
+        shapes = ([jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in pa]
+                  + [jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in pc])
+        out_shape = tuple(shapes * 4
+                          + [jax.ShapeDtypeStruct((C, 2), jnp.float32)])
+        outs = pl.pallas_call(
+            kernel, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(sb, nsb, ab, rb, ud, um, nz, bcv,
+          *pa, *pc, *ta, *tc, *mua, *muc, *nua, *nuc)
+        g = [tuple(outs[i * n_l:(i + 1) * n_l]) for i in range(8)]
+        return (*g, outs[8 * n_l])
+
+    return chunk

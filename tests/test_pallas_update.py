@@ -245,3 +245,65 @@ def test_dqn_fused_update_parity(twin, duel):
     for k_ in ('obj_critic', 'obj_actor'):
         np.testing.assert_allclose(float(m_fus[k_]), float(m_ref[k_]),
                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("td3", [True, False])
+def test_ddpg_td3_fused_update_parity(td3):
+    """The chunked DDPG/TD3 fused update must reproduce the scan path:
+    same ids and smoothing noise by construction, same TD/Adam/Polyak and
+    delayed-actor gating — across a chunk boundary (20 updates, chunk=16)."""
+    from elegantrl_tpu.agents.ddpg_td3 import _make
+    from elegantrl_tpu.train.replay_buffer import ReplayBuffer
+
+    S, A, NS, H = 3, 2, 8, 40
+    def mk(mode):
+        args = Config()
+        args.batch_size = 128
+        args.repeat_times = 64.0          # 40 * 64 / 128 = 20 updates
+        args.use_pallas_update = mode
+        args.buffer_init_size = 16
+        buffer = ReplayBuffer(max_size=256, state_dim=S, action_dim=A,
+                              num_seqs=NS, args=args)
+        return _make((16, 16), S, A, args, buffer, td3=td3)
+
+    agent_ref = mk(False)
+    agent_fused = mk('interpret')
+    s = agent_ref.init(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(5)
+    ks, ka, kr = jax.random.split(k, 3)
+    items = (jax.random.normal(ks, (H, NS, S)),
+             jax.random.uniform(ka, (H, NS, A), minval=-1, maxval=1),
+             jax.random.normal(kr, (H, NS)),
+             jnp.ones((H, NS)), jnp.ones((H, NS)))
+    buf0 = agent_ref and None  # placeholder, rebuilt below per agent
+    from elegantrl_tpu.train.replay_buffer import ReplayBuffer as _RB
+    args0 = Config(); args0.batch_size = 128
+    def fill():
+        b = _RB(max_size=256, state_dim=S, action_dim=A, num_seqs=NS,
+                args=args0)
+        return b.update(b.init(), items)
+
+    k_upd = jax.random.PRNGKey(11)
+    s_ref, _, m_ref = jax.jit(agent_ref.update)(s, fill(), k_upd)
+    s_fus, _, m_fus = jax.jit(agent_fused.update)(s, fill(), k_upd)
+
+    for old, a, b in zip(
+            jax.tree.leaves((s.act, s.act_target, s.cri, s.cri_target)),
+            jax.tree.leaves((s_ref.act, s_ref.act_target, s_ref.cri,
+                             s_ref.cri_target)),
+            jax.tree.leaves((s_fus.act, s_fus.act_target, s_fus.cri,
+                             s_fus.cri_target))):
+        da, db = np.asarray(a - old), np.asarray(b - old)
+        np.testing.assert_allclose(db, da, rtol=5e-3, atol=4e-7)
+    for opt_ref, opt_fus, n_exp in (
+            (s_ref.cri_opt, s_fus.cri_opt, 20),
+            (s_ref.act_opt, s_fus.act_opt, 10 if td3 else 20)):
+        c_ref, mu_ref, nu_ref = _adam_parts(opt_ref)
+        c_fus, mu_fus, nu_fus = _adam_parts(opt_fus)
+        assert int(c_ref) == int(c_fus) == n_exp
+        for a, b in zip(jax.tree.leaves(mu_ref), jax.tree.leaves(mu_fus)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-3, atol=4e-7)
+    for k_ in ('obj_critic', 'obj_actor'):
+        np.testing.assert_allclose(float(m_fus[k_]), float(m_ref[k_]),
+                                   rtol=1e-4, atol=1e-6)
