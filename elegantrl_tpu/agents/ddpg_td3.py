@@ -221,7 +221,12 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
                     and lambda_fit_cum_r == 0.0
                     and len(net_dims) == 2
                     and batch_size % 128 == 0 and batch_size <= 2048
-                    and f32_storage)
+                    # measured VMEM ceiling: (128,128)x1024 compiles
+                    and max(net_dims) * batch_size <= 131072
+                    and f32_storage
+                    # mesh DP shards the buffer; the un-shard_mapped
+                    # kernel cannot ride XLA's auto-partitioner
+                    and not getattr(args, 'mesh_axes', None))
         if not eligible:
             if mode is True:
                 raise ValueError(

@@ -267,7 +267,179 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
                          alpha_opt=alpha_opt, update_a=update_a)
         return new, buf_state, (obj_critic, obj_actor, a_upd)
 
-    update = make_offpolicy_update(batch_size, repeat_times, objectives)
+    # Fused whole-chunk Pallas update (ops/pallas_update.py:
+    # make_sac_fused_chunk) — same chunked shape as the DQN/TD3 fused
+    # updates, plus SAC's in-kernel dynamic state: the learned alpha leaf,
+    # the ModSAC reliability gate, and the gate-dependent actor Adam count.
+    pallas_update_mode = getattr(args, 'use_pallas_update', 'auto')
+    _FUSED_CHUNK = 16
+
+    def _fused_update():
+        mode = pallas_update_mode
+        if mode in (False, 'false', '0') or buffer is None:
+            return None
+        if modsac and mode == 'auto':
+            # measured SLOWER than the scan path for ModSAC (6,369 vs 7,593
+            # updates/s — the E=8 per-ensemble head loop serializes small
+            # matmuls the scan path batches; docs/performance.md).  Still
+            # available via use_pallas_update=True / 'interpret'.
+            return None
+        interpret = (mode == 'interpret')
+        f32_storage = getattr(buffer, 'storage_dtype', jnp.float32) in (
+            jnp.float32, 'float32')
+        eligible = (not hterm and not if_use_per
+                    and lambda_fit_cum_r == 0.0
+                    and len(net_dims) == 2
+                    and batch_size % 128 == 0 and batch_size <= 2048
+                    # SAC's per-ensemble head autodiff keeps far more
+                    # live VMEM than the single-net kernels: measured
+                    # OOM at (128,128)x1024 (+5.2M) and (256,256)x256
+                    # (+1.9M); (64,64)x256 fits comfortably
+                    and max(net_dims) * batch_size <= 32768
+                    and max(net_dims) <= 128
+                    and f32_storage
+                    # mesh DP shards the buffer; the un-shard_mapped
+                    # kernel cannot ride XLA's auto-partitioner
+                    and not getattr(args, 'mesh_axes', None))
+        if not eligible:
+            if mode is True:
+                raise ValueError(
+                    'use_pallas_update=True (SAC/ModSAC) requires the non-'
+                    'H-term agent, uniform sampling (no PER), '
+                    'lambda_fit_cum_r=0, a 2-hidden-layer net, f32 storage, '
+                    'and batch_size a multiple of 128 and <= 2048 (got '
+                    f'batch_size={batch_size}, net_dims={net_dims})')
+            return None
+        if not interpret and jax.devices()[0].platform != 'tpu':
+            if mode is True:
+                raise ValueError(
+                    'use_pallas_update=True: Mosaic kernels need a real TPU '
+                    f'(current backend: {jax.devices()[0].platform}); use '
+                    "use_pallas_update='interpret' for CPU testing")
+            return None
+        from ..ops.pallas_update import (_adam_parts, _from_kernel,
+                                         _to_kernel, _with_adam_parts,
+                                         make_sac_fused_chunk,
+                                         sac_act_flatten, sac_act_unflatten,
+                                         sac_cri_flatten, sac_cri_unflatten)
+        C = _FUSED_CHUNK
+        chunk_fn = make_sac_fused_chunk(
+            state_dim, action_dim, batch_size, C, gamma=gamma, tau=tau,
+            lr=lr, clip_grad=clip_grad, modsac=modsac,
+            num_ensembles=num_ensembles, target_entropy=target_entropy,
+            std_clip=std_clip, interpret=interpret)
+        N = buffer.num_seqs
+
+        def update(s: SACState, buf_state, key):
+            size = buf_state.size
+            update_times = jnp.maximum(
+                (size.astype(jnp.float32) * repeat_times
+                 / batch_size).astype(jnp.int32), 1)
+            n_chunks = (update_times + C - 1) // C
+            ca0, mu_a, nu_a = _adam_parts(s.act_opt)
+            cc0, mu_c, nu_c = _adam_parts(s.cri_opt)
+            cl0, mu_l, nu_l = _adam_parts(s.alpha_opt)
+            a_shapes = [x.shape for x in sac_act_flatten(s.act, modsac)]
+            c_shapes = [x.shape
+                        for x in sac_cri_flatten(s.cri, num_ensembles)]
+            KA = lambda t_: tuple(_to_kernel(x)
+                                  for x in sac_act_flatten(t_, modsac))
+            KC = lambda t_: tuple(_to_kernel(x)
+                                  for x in sac_cri_flatten(t_,
+                                                           num_ensembles))
+            pa, pc = KA(s.act), KC(s.cri)
+            ta = KA(s.act_target) if modsac else ()
+            tc = KC(s.cri_target)
+            mua, muc = KA(mu_a), KC(mu_c)
+            nua, nuc = KA(nu_a), KC(nu_c)
+            one = lambda v: jnp.asarray(v, jnp.float32).reshape(1, 1)
+            misc = (one(s.alpha_log), one(mu_l), one(nu_l),
+                    one(ca0.astype(jnp.float32)),
+                    one(s.update_a.astype(jnp.float32)))
+            states2d = buf_state.states.reshape(-1, state_dim)
+            acts2d = buf_state.actions.reshape(-1, action_dim)
+            rew1d = buf_state.rewards.reshape(-1)
+            ud1d = buf_state.undones.reshape(-1)
+            um1d = buf_state.unmasks.reshape(-1)
+            sample_len = jnp.maximum(size - 1, 1)
+
+            def chunk_body(ci, carry):
+                pa, pc, ta, tc, mua, muc, nua, nuc, misc, sums = carry
+                idx = ci * C + jnp.arange(C)
+                # the scan path's exact RNG: fold_in per update index, then
+                # split(3) -> (sample, next-action noise, pg noise)
+                kk = jax.vmap(lambda i: jax.random.split(
+                    jax.random.fold_in(key, i), 3))(idx)
+                ids = jax.vmap(lambda k: jax.random.randint(
+                    k, (batch_size,), 0, sample_len * N))(kk[:, 0])
+                ids0 = ids % sample_len
+                ids1 = ids // sample_len
+                flat = ids0 * N + ids1
+                sb = jnp.take(states2d, flat, axis=0)
+                nsb = jnp.take(states2d, flat + N, axis=0)
+                ab = jnp.take(acts2d, flat, axis=0)
+                rb = jnp.take(rew1d, flat)[:, None, :]
+                ud = jnp.take(ud1d, flat)[:, None, :]
+                um = jnp.take(um1d, flat)[:, None, :]
+                draw = lambda k: jax.random.normal(
+                    k, (batch_size, action_dim))
+                nzn = jax.vmap(draw)(kk[:, 1]).transpose(0, 2, 1)
+                nzp = jax.vmap(draw)(kk[:, 2]).transpose(0, 2, 1)
+                valid = (idx < update_times).astype(jnp.float32)
+                cri_step = (cc0.astype(jnp.float32)
+                            + idx.astype(jnp.float32) + 1.0)
+                al_step = (cl0.astype(jnp.float32)
+                           + idx.astype(jnp.float32) + 1.0)
+                bcv = jnp.stack([1.0 - jnp.power(0.9, cri_step),
+                                 1.0 - jnp.power(0.999, cri_step),
+                                 1.0 - jnp.power(0.9, al_step),
+                                 1.0 - jnp.power(0.999, al_step),
+                                 valid, idx.astype(jnp.float32),
+                                 jnp.zeros((C,), jnp.float32)], axis=1)
+                (pa, pc, ta, tc, mua, muc, nua, nuc, misc, objs) = chunk_fn(
+                    pa, pc, ta, tc, mua, muc, nua, nuc, misc,
+                    sb.transpose(0, 2, 1), nsb.transpose(0, 2, 1),
+                    ab.transpose(0, 2, 1), rb, ud, um, nzn, nzp, bcv)
+                sums = sums + jnp.stack([jnp.sum(objs[:, 0] * valid),
+                                         jnp.sum(objs[:, 1] * objs[:, 2]),
+                                         jnp.sum(objs[:, 2])])
+                return pa, pc, ta, tc, mua, muc, nua, nuc, misc, sums
+
+            (pa, pc, ta, tc, mua, muc, nua, nuc, misc,
+             sums) = jax.lax.fori_loop(
+                0, n_chunks, chunk_body,
+                (pa, pc, ta, tc, mua, muc, nua, nuc, misc, jnp.zeros(3)))
+            backa = lambda xs: sac_act_unflatten(
+                [_from_kernel(x, sh) for x, sh in zip(xs, a_shapes)], modsac)
+            backc = lambda xs: sac_cri_unflatten(
+                [_from_kernel(x, sh) for x, sh in zip(xs, c_shapes)],
+                num_ensembles)
+            alpha_log2, mu_l2, nu_l2, cnt_a2, upd_a2 = misc
+            n_act_steps = (cnt_a2[0, 0]
+                           - ca0.astype(jnp.float32)).astype(jnp.int32)
+            act_opt = _with_adam_parts(s.act_opt, ca0 + n_act_steps,
+                                       backa(mua), backa(nua))
+            cri_opt = _with_adam_parts(s.cri_opt, cc0 + update_times,
+                                       backc(muc), backc(nuc))
+            alpha_opt = _with_adam_parts(
+                s.alpha_opt, cl0 + update_times,
+                mu_l2.reshape(()), nu_l2.reshape(()))
+            nf = update_times.astype(jnp.float32)
+            metrics = {'obj_critic': sums[0] / nf,
+                       'obj_actor': sums[1] / jnp.maximum(sums[2], 1.0)}
+            new = s._replace(
+                act=backa(pa),
+                act_target=backa(ta) if modsac else None,
+                cri=backc(pc), cri_target=backc(tc),
+                act_opt=act_opt, cri_opt=cri_opt,
+                alpha_log=alpha_log2.reshape(()), alpha_opt=alpha_opt,
+                update_a=upd_a2[0, 0].astype(jnp.int32))
+            return new, buf_state, metrics
+
+        return update
+
+    update = _fused_update() or make_offpolicy_update(
+        batch_size, repeat_times, objectives)
 
     pre_update = None
     if hterm:

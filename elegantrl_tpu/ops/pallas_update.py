@@ -712,3 +712,274 @@ def make_ddpg_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
         return (*g, outs[8 * n_l])
 
     return chunk
+
+
+# -------------------------------------------------------- SAC/ModSAC chunk
+
+def sac_act_flatten(act: dict, modsac: bool) -> list:
+    """Kernel leaf order for the SAC actor dict (agents/sac.py:init):
+    enc(4) + head(2) [plain] | enc(4) + avg(2) + std(2) [ModSAC]."""
+    leaves = mlp_flatten(act['enc'])
+    if modsac:
+        return leaves + mlp_flatten(act['avg']) + mlp_flatten(act['std'])
+    return leaves + mlp_flatten(act['head'])
+
+
+def sac_act_unflatten(leaves, modsac: bool) -> dict:
+    if modsac:
+        return {'enc': mlp_unflatten(leaves[:4]),
+                'avg': mlp_unflatten(leaves[4:6]),
+                'std': mlp_unflatten(leaves[6:8])}
+    return {'enc': mlp_unflatten(leaves[:4]),
+            'head': mlp_unflatten(leaves[4:6])}
+
+
+def sac_cri_flatten(cri: dict, num_ensembles: int) -> list:
+    """enc(2) + per-ensemble head slices (4 leaves each): the stacked
+    ``ensemble_init`` heads are unstacked so every kernel leaf stays 2-D."""
+    leaves = mlp_flatten(cri['enc'])
+    (w1, b1), (w2, b2) = cri['heads']
+    for e in range(num_ensembles):
+        leaves += [w1[e], b1[e], w2[e], b2[e]]
+    return leaves
+
+
+def sac_cri_unflatten(leaves, num_ensembles: int) -> dict:
+    enc = mlp_unflatten(leaves[:2])
+    w1 = jnp.stack([leaves[2 + 4 * e] for e in range(num_ensembles)])
+    b1 = jnp.stack([leaves[3 + 4 * e] for e in range(num_ensembles)])
+    w2 = jnp.stack([leaves[4 + 4 * e] for e in range(num_ensembles)])
+    b2 = jnp.stack([leaves[5 + 4 * e] for e in range(num_ensembles)])
+    return {'enc': enc, 'heads': [(w1, b1), (w2, b2)]}
+
+
+def make_sac_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
+                         chunk_updates: int, *, gamma: float, tau: float,
+                         lr: float, clip_grad: float, modsac: bool,
+                         num_ensembles: int, target_entropy: float,
+                         std_clip: tuple, b1: float = 0.9, b2: float = 0.999,
+                         eps: float = 1e-8, interpret: bool = False):
+    """Fused SAC/ModSAC SGD chunk (agents/sac.py:objectives; reference
+    AgentSAC.py:40-100/149-158): per step — entropy-regularized TD target
+    from the target critic with a fresh tanh-Gaussian next-action draw,
+    critic Adam + Polyak, the alpha (temperature) step on its own optimizer
+    with the [-16, 2] clip, then the (ModSAC: reliability-gated) actor step
+    maximizing Q - alpha*logprob against the FRESH target critic.
+
+    Dynamic in-kernel state the other chunks don't have: ``alpha_log`` (a
+    learned (1,1) leaf with its own Adam moments), the ModSAC actor-gate
+    counter ``update_a``, and the actor's Adam step count (data-dependent
+    under the gate), all carried as (1,1) VMEM scalars across the chunk —
+    the actor's bias corrections are computed IN-kernel via
+    ``exp(count*log(beta))``.
+
+    Caller pre-draws minibatch ids and BOTH noise blocks (next-action +
+    policy-gradient) with the scan path's exact keys.  ``bcv`` is an SMEM
+    ``(C, 7)`` table: (bc1_cri, bc2_cri, bc1_alpha, bc2_alpha, valid,
+    update_t, unused).  Returns ``chunk(pa, pc, ta, tc, mua, muc, nua, nuc,
+    misc, sb, nsb, ab, rb, ud, um, nz_next, nz_pg, bcv)``; ``misc`` is the
+    5-leaf (1,1) group [alpha_log, alpha_mu, alpha_nu, act_count,
+    update_a]; ``ta`` is empty for plain SAC (no actor target).
+    """
+    import math as _math
+    C, B = int(chunk_updates), int(batch_size)
+    S, A, E = int(state_dim), int(action_dim), int(num_ensembles)
+    n_a = 8 if modsac else 6
+    n_c = 2 + 4 * E
+    n_t = n_a if modsac else 0
+    lo, hi = float(std_clip[0]), float(std_clip[1])
+    LOG_SQRT_2PI = _math.log(_math.sqrt(2.0 * _math.pi))
+    LOG_2 = _math.log(2.0)
+    RELIABLE = 1.0 / (2.0 - _math.exp(-1.0))
+
+    def adam_leaf(p, mu, nu, g, scale, bc1, bc2):
+        g = g * scale
+        mu = b1 * mu + (1.0 - b1) * g
+        nu = b2 * nu + (1.0 - b2) * jnp.square(g)
+        return (p - lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps), mu, nu)
+
+    def adam_step(params, mus, nus, grads, bc1, bc2):
+        gn = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in grads))
+        scale = jnp.where(gn < clip_grad, 1.0, clip_grad / gn)
+        out = [adam_leaf(p, mu, nu, g, scale, bc1, bc2)
+               for p, mu, nu, g in zip(params, mus, nus, grads)]
+        return ([o[0] for o in out], [o[1] for o in out],
+                [o[2] for o in out])
+
+    def actor_dist(al, x):
+        h = jax.nn.gelu(jnp.dot(al[0], x,
+                                preferred_element_type=jnp.float32) + al[1])
+        e = jnp.dot(al[2], h, preferred_element_type=jnp.float32) + al[3]
+        if modsac:
+            mean = jnp.dot(al[4], e,
+                           preferred_element_type=jnp.float32) + al[5]
+            log_std = jnp.clip(
+                jnp.dot(al[6], e,
+                        preferred_element_type=jnp.float32) + al[7], lo, hi)
+        else:
+            # plain ActorSAC: trailing GELU on the trunk (sac.py:actor_dist)
+            e = jax.nn.gelu(e)
+            out = jnp.dot(al[4], e,
+                          preferred_element_type=jnp.float32) + al[5]
+            mean, log_std = out[:A], jnp.clip(out[A:], lo, hi)
+        return mean, log_std
+
+    def action_logprob(al, x, noise):
+        mean, log_std = actor_dist(al, x)
+        std = jnp.exp(log_std)
+        pre = mean + std * noise
+        if modsac:   # ActorFixSAC softplus form (dists.tanh_normal_logprob)
+            lp = (-log_std - 0.5 * jnp.square(noise) - LOG_SQRT_2PI
+                  - 2.0 * (LOG_2 - pre - jax.nn.softplus(-2.0 * pre)))
+        else:        # the reference's density-at-the-mean quirk
+            lp = (-jnp.log(std) - LOG_SQRT_2PI
+                  - jnp.log(1.000001 - jnp.square(jnp.tanh(pre))))
+        return jnp.tanh(pre), jnp.sum(lp, axis=0, keepdims=True)   # (1, B)
+
+    def q_values(cl, x, a):
+        sa = jnp.concatenate([x, a], axis=0)                 # (S+A, B)
+        enc = jnp.dot(cl[0], sa,
+                      preferred_element_type=jnp.float32) + cl[1]  # raw
+        qs = []
+        for e in range(E):
+            h = jax.nn.gelu(jnp.dot(cl[2 + 4 * e], enc,
+                                    preferred_element_type=jnp.float32)
+                            + cl[3 + 4 * e])
+            qs.append(jnp.dot(cl[4 + 4 * e], h,
+                              preferred_element_type=jnp.float32)
+                      + cl[5 + 4 * e])
+        return jnp.concatenate(qs, axis=0)                   # (E, B)
+
+    def kernel(*refs):
+        (sb_ref, nsb_ref, ab_ref, rb_ref, ud_ref, um_ref, nzn_ref, nzp_ref,
+         bcv_ref) = refs[:9]
+        sizes = [n_a, n_c, n_t, n_c, n_a, n_c, n_a, n_c, 5]
+        offs = [9]
+        for sz in sizes:
+            offs.append(offs[-1] + sz)
+        groups = [refs[offs[i]:offs[i + 1]] for i in range(9)]
+        out = refs[offs[-1]:]
+        out_groups, o = [], 0
+        for sz in sizes:
+            out_groups.append(out[o:o + sz]); o += sz
+        objs_ref = out[o]
+
+        init = tuple(tuple(r[:] for r in g) for g in groups)
+
+        def body(u, carry):
+            pa, pc, ta, tc, mua, muc, nua, nuc, misc = carry
+            alpha_log, a_mu, a_nu, cnt_a, upd_a = misc
+            x = sb_ref[pl.ds(u, 1)].reshape(S, B)
+            nx = nsb_ref[pl.ds(u, 1)].reshape(S, B)
+            a = ab_ref[pl.ds(u, 1)].reshape(A, B)
+            r = rb_ref[pl.ds(u, 1)].reshape(1, B)
+            ud = ud_ref[pl.ds(u, 1)].reshape(1, B)
+            um = um_ref[pl.ds(u, 1)].reshape(1, B)
+            nzn = nzn_ref[pl.ds(u, 1)].reshape(A, B)
+            nzp = nzp_ref[pl.ds(u, 1)].reshape(A, B)
+            bc1c, bc2c = bcv_ref[u, 0], bcv_ref[u, 1]
+            bc1l, bc2l = bcv_ref[u, 2], bcv_ref[u, 3]
+            valid, upd_t = bcv_ref[u, 4], bcv_ref[u, 5]
+
+            na, nlp = action_logprob(pa, nx, nzn)
+            nq = jnp.min(q_values(tc, nx, na), axis=0, keepdims=True)
+            alpha = jnp.exp(alpha_log)                       # (1, 1)
+            q_label = r + ud * gamma * (nq - nlp * alpha)
+
+            def cri_loss(cl):
+                qs = q_values(cl, x, a)
+                td = jnp.mean(jnp.square(qs - q_label), axis=0,
+                              keepdims=True) * um
+                return jnp.mean(td)
+
+            obj_c, g_cri = jax.value_and_grad(cri_loss)(pc)
+            pc2, muc2, nuc2 = adam_step(pc, muc, nuc, g_cri, bc1c, bc2c)
+            tc2 = [t_ * (1.0 - tau) + p_ * tau for t_, p_ in zip(tc, pc2)]
+
+            # alpha step: logprob at the CURRENT actor with the pg noise
+            _, lp_now = action_logprob(pa, x, nzp)
+
+            def alpha_loss(al_):
+                return jnp.mean(al_ * (target_entropy - lp_now))
+
+            g_al = jax.grad(alpha_loss)(alpha_log)
+            gn = jnp.sqrt(jnp.sum(jnp.square(g_al)))
+            g_al = g_al * jnp.where(gn < clip_grad, 1.0, clip_grad / gn)
+            a_mu2 = b1 * a_mu + (1.0 - b1) * g_al
+            a_nu2 = b2 * a_nu + (1.0 - b2) * jnp.square(g_al)
+            alpha_log2 = jnp.clip(
+                alpha_log - lr * (a_mu2 / bc1l)
+                / (jnp.sqrt(a_nu2 / bc2l) + eps), -16.0, 2.0)
+            alpha2 = jnp.exp(alpha_log2)                     # stop-grad'd
+
+            if modsac:   # reliability gate on running actor-update ratio
+                upd_a0 = jnp.where(upd_t == 0.0, 0.0, upd_a)
+                do_act = (upd_a0 / (upd_t + 1.0) < RELIABLE).astype(
+                    jnp.float32)
+                upd_a2 = upd_a0 + do_act
+            else:
+                do_act = jnp.ones_like(upd_a)
+                upd_a2 = upd_a
+
+            def act_loss(al):
+                a_pg, lp = action_logprob(al, x, nzp)
+                q_pg = jnp.mean(q_values(tc2, x, a_pg))      # FRESH target
+                return -(q_pg - jnp.mean(lp * alpha2))
+
+            obj_neg, g_act = jax.value_and_grad(act_loss)(pa)
+            cnt_a2 = cnt_a + 1.0
+            bc1a = 1.0 - jnp.exp(cnt_a2 * _math.log(b1))
+            bc2a = 1.0 - jnp.exp(cnt_a2 * _math.log(b2))
+            pa2, mua2, nua2 = adam_step(pa, mua, nua, g_act, bc1a, bc2a)
+            if modsac:
+                ta2 = [t_ * (1.0 - tau) + p_ * tau
+                       for t_, p_ in zip(ta, pa2)]
+            else:
+                ta2 = ta
+
+            objs_ref[pl.ds(u, 1)] = jnp.concatenate(
+                [obj_c.reshape(1, 1), (-obj_neg).reshape(1, 1),
+                 (valid * do_act[0, 0]).reshape(1, 1)], axis=1)
+            selc = lambda n_, o_: jnp.where(valid > 0, n_, o_)  # noqa: E731
+            da = (valid > 0) & (do_act[0, 0] > 0)
+            sela = lambda n_, o_: jnp.where(da, n_, o_)         # noqa: E731
+            misc2 = (selc(alpha_log2, alpha_log), selc(a_mu2, a_mu),
+                     selc(a_nu2, a_nu), sela(cnt_a2, cnt_a),
+                     selc(upd_a2, upd_a))
+            return (tuple(map(sela, pa2, pa)), tuple(map(selc, pc2, pc)),
+                    tuple(map(sela, ta2, ta)), tuple(map(selc, tc2, tc)),
+                    tuple(map(sela, mua2, mua)), tuple(map(selc, muc2, muc)),
+                    tuple(map(sela, nua2, nua)), tuple(map(selc, nuc2, nuc)),
+                    misc2)
+
+        final = jax.lax.fori_loop(0, C, body, init)
+        for g_out, g_val in zip(out_groups, final):
+            for r_, v in zip(g_out, g_val):
+                r_[:] = v
+
+    def chunk(pa, pc, ta, tc, mua, muc, nua, nuc, misc,
+              sb, nsb, ab, rb, ud, um, nzn, nzp, bcv):
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+        n_total = 4 * n_a + 4 * n_c + n_t + 5   # ta only when modsac
+        n_groups = (n_a + n_c + n_t + n_c + n_a + n_c + n_a + n_c + 5)
+        in_specs = ([vmem()] * 8
+                    + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+                    + [vmem()] * n_groups)
+        out_specs = tuple([vmem()] * (n_groups + 1))
+        all_in = (list(pa) + list(pc) + list(ta) + list(tc) + list(mua)
+                  + list(muc) + list(nua) + list(nuc) + list(misc))
+        out_shape = tuple(
+            [jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in all_in]
+            + [jax.ShapeDtypeStruct((C, 3), jnp.float32)])
+        outs = pl.pallas_call(
+            kernel, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(sb, nsb, ab, rb, ud, um, nzn, nzp, bcv, *all_in)
+        sizes = [n_a, n_c, n_t, n_c, n_a, n_c, n_a, n_c, 5]
+        g, o = [], 0
+        for sz in sizes:
+            g.append(tuple(outs[o:o + sz])); o += sz
+        return (*g, outs[o])
+
+    return chunk

@@ -307,3 +307,70 @@ def test_ddpg_td3_fused_update_parity(td3):
     for k_ in ('obj_critic', 'obj_actor'):
         np.testing.assert_allclose(float(m_fus[k_]), float(m_ref[k_]),
                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("modsac", [False, True])
+def test_sac_fused_update_parity(modsac):
+    """The chunked SAC/ModSAC fused update must reproduce the scan path:
+    same ids and noise draws by construction, same entropy-TD/alpha/actor
+    math including the ModSAC reliability gate and the learned alpha leaf —
+    across a chunk boundary (20 updates, chunk=16)."""
+    from elegantrl_tpu.agents.sac import make_sac
+    from elegantrl_tpu.train.replay_buffer import ReplayBuffer
+
+    S, A, NS, H = 3, 2, 8, 40
+    def mk(mode):
+        args = Config()
+        args.batch_size = 128
+        args.repeat_times = 64.0          # 20 updates
+        args.use_pallas_update = mode
+        buffer = ReplayBuffer(max_size=256, state_dim=S, action_dim=A,
+                              num_seqs=NS, args=args)
+        return make_sac((16, 16), S, A, args, buffer, modsac=modsac)
+
+    agent_ref = mk(False)
+    agent_fused = mk('interpret')
+    s = agent_ref.init(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(5)
+    ks, ka, kr = jax.random.split(k, 3)
+    items = (jax.random.normal(ks, (H, NS, S)),
+             jax.random.uniform(ka, (H, NS, A), minval=-1, maxval=1),
+             jax.random.normal(kr, (H, NS)),
+             jnp.ones((H, NS)), jnp.ones((H, NS)))
+    args0 = Config(); args0.batch_size = 128
+    def fill():
+        b = ReplayBuffer(max_size=256, state_dim=S, action_dim=A,
+                         num_seqs=NS, args=args0)
+        return b.update(b.init(), items)
+
+    k_upd = jax.random.PRNGKey(11)
+    s_ref, _, m_ref = jax.jit(agent_ref.update)(s, fill(), k_upd)
+    s_fus, _, m_fus = jax.jit(agent_fused.update)(s, fill(), k_upd)
+
+    assert int(s_ref.update_a) == int(s_fus.update_a)
+    np.testing.assert_allclose(float(s_fus.alpha_log), float(s_ref.alpha_log),
+                               rtol=1e-5, atol=1e-7)
+    trees_ref = (s_ref.act, s_ref.cri, s_ref.cri_target)
+    trees_fus = (s_fus.act, s_fus.cri, s_fus.cri_target)
+    if modsac:
+        trees_ref += (s_ref.act_target,)
+        trees_fus += (s_fus.act_target,)
+        old = (s.act, s.cri, s.cri_target, s.act_target)
+    else:
+        old = (s.act, s.cri, s.cri_target)
+    for o, a, b in zip(jax.tree.leaves(old), jax.tree.leaves(trees_ref),
+                       jax.tree.leaves(trees_fus)):
+        da, db = np.asarray(a - o), np.asarray(b - o)
+        np.testing.assert_allclose(db, da, rtol=5e-3, atol=4e-7)
+    for opt_ref, opt_fus in ((s_ref.cri_opt, s_fus.cri_opt),
+                             (s_ref.act_opt, s_fus.act_opt),
+                             (s_ref.alpha_opt, s_fus.alpha_opt)):
+        c_ref, mu_ref, _ = _adam_parts(opt_ref)
+        c_fus, mu_fus, _ = _adam_parts(opt_fus)
+        assert int(c_ref) == int(c_fus)
+        for a, b in zip(jax.tree.leaves(mu_ref), jax.tree.leaves(mu_fus)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-3, atol=4e-7)
+    for k_ in ('obj_critic', 'obj_actor'):
+        np.testing.assert_allclose(float(m_fus[k_]), float(m_ref[k_]),
+                                   rtol=1e-4, atol=1e-6)
