@@ -672,19 +672,35 @@ def make_ddpg_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
                 q = mlp3(pc2, jnp.concatenate([x, aa], axis=0))  # NEW critic
                 return -jnp.mean(q)
 
-            obj_neg, g_act = jax.value_and_grad(act_loss)(pa)
-            pa2, mua2, nua2 = adam_step(pa, mua, nua, g_act, bc1a, bc2a)
-            ta2 = [t_ * (1.0 - tau) + p_ * tau for t_, p_ in zip(ta, pa2)]
+            # the delayed actor rides a real branch (lax.cond lowers to an
+            # scf.if in Mosaic) so the skipped steps do NO actor fwd/bwd —
+            # at update_freq=2 that's half the actor work vs compute+mask
+            def actor_go(ops):
+                pa_, mua_, nua_, ta_ = ops
+                obj_neg, g_act = jax.value_and_grad(act_loss)(pa_)
+                pa2, mua2, nua2 = adam_step(pa_, mua_, nua_, g_act,
+                                            bc1a, bc2a)
+                ta2 = [t_ * (1.0 - tau) + p_ * tau
+                       for t_, p_ in zip(ta_, pa2)]
+                return (tuple(pa2), tuple(mua2), tuple(nua2), tuple(ta2),
+                        obj_neg)
+
+            def actor_skip(ops):
+                pa_, mua_, nua_, ta_ = ops
+                return (tuple(pa_), tuple(mua_), tuple(nua_), tuple(ta_),
+                        jnp.zeros(()))
+
+            pa2, mua2, nua2, ta2, obj_neg = jax.lax.cond(
+                (valid > 0) & (do_act > 0), actor_go, actor_skip,
+                (pa, mua, nua, ta))
 
             objs_ref[pl.ds(u, 1)] = jnp.concatenate(
                 [obj_c.reshape(1, 1), (-obj_neg).reshape(1, 1)], axis=1)
             selc = lambda n_, o_: jnp.where(valid > 0, n_, o_)  # noqa: E731
-            sela = lambda n_, o_: jnp.where(                    # noqa: E731
-                (valid > 0) & (do_act > 0), n_, o_)
-            return (tuple(map(sela, pa2, pa)), tuple(map(selc, pc2, pc)),
-                    tuple(map(sela, ta2, ta)), tuple(map(selc, tc2, tc)),
-                    tuple(map(sela, mua2, mua)), tuple(map(selc, muc2, muc)),
-                    tuple(map(sela, nua2, nua)), tuple(map(selc, nuc2, nuc)))
+            return (pa2, tuple(map(selc, pc2, pc)),
+                    ta2, tuple(map(selc, tc2, tc)),
+                    mua2, tuple(map(selc, muc2, muc)),
+                    nua2, tuple(map(selc, nuc2, nuc)))
 
         final = jax.lax.fori_loop(0, C, body, init)
         for g_out, g_val in zip(out_groups, final):
@@ -836,25 +852,35 @@ def make_sac_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
                   - jnp.log(1.000001 - jnp.square(jnp.tanh(pre))))
         return jnp.tanh(pre), jnp.sum(lp, axis=0, keepdims=True)   # (1, B)
 
-    def q_values(cl, x, a):
-        sa = jnp.concatenate([x, a], axis=0)                 # (S+A, B)
-        enc = jnp.dot(cl[0], sa,
-                      preferred_element_type=jnp.float32) + cl[1]  # raw
-        qs = []
-        for e in range(E):
-            h = jax.nn.gelu(jnp.dot(cl[2 + 4 * e], enc,
+    def make_q_values(mask):
+        """Batched ensemble critic: the E per-head first layers run as ONE
+        stacked (E*D2, D1) matmul and the second layers as ONE masked
+        block-diagonal (E, E*D2) matmul — bit-exact vs the per-head loop
+        (the masked-out products are exactly 0.0, and each row's nonzero
+        block accumulates in the same ascending order), but E fewer serial
+        MXU ops per evaluation."""
+        def q_values(cl, x, a):
+            sa = jnp.concatenate([x, a], axis=0)             # (S+A, B)
+            enc = jnp.dot(cl[0], sa,
+                          preferred_element_type=jnp.float32) + cl[1]
+            w1 = jnp.concatenate([cl[2 + 4 * e] for e in range(E)], axis=0)
+            bb1 = jnp.concatenate([cl[3 + 4 * e] for e in range(E)], axis=0)
+            h = jax.nn.gelu(jnp.dot(w1, enc,
                                     preferred_element_type=jnp.float32)
-                            + cl[3 + 4 * e])
-            qs.append(jnp.dot(cl[4 + 4 * e], h,
-                              preferred_element_type=jnp.float32)
-                      + cl[5 + 4 * e])
-        return jnp.concatenate(qs, axis=0)                   # (E, B)
+                            + bb1)                           # (E*D2, B)
+            w2row = jnp.concatenate([cl[4 + 4 * e] for e in range(E)],
+                                    axis=1)                  # (1, E*D2)
+            bb2 = jnp.concatenate([cl[5 + 4 * e] for e in range(E)], axis=0)
+            return jnp.dot(mask * w2row, h,
+                           preferred_element_type=jnp.float32) + bb2
+        return q_values
 
     def kernel(*refs):
         (sb_ref, nsb_ref, ab_ref, rb_ref, ud_ref, um_ref, nzn_ref, nzp_ref,
-         bcv_ref) = refs[:9]
+         mask_ref, bcv_ref) = refs[:10]
+        q_values = make_q_values(mask_ref[:])
         sizes = [n_a, n_c, n_t, n_c, n_a, n_c, n_a, n_c, 5]
-        offs = [9]
+        offs = [10]
         for sz in sizes:
             offs.append(offs[-1] + sz)
         groups = [refs[offs[i]:offs[i + 1]] for i in range(9)]
@@ -957,12 +983,17 @@ def make_sac_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
             for r_, v in zip(g_out, g_val):
                 r_[:] = v
 
+    import numpy as _np
+
     def chunk(pa, pc, ta, tc, mua, muc, nua, nuc, misc,
               sb, nsb, ab, rb, ud, um, nzn, nzp, bcv):
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-        n_total = 4 * n_a + 4 * n_c + n_t + 5   # ta only when modsac
         n_groups = (n_a + n_c + n_t + n_c + n_a + n_c + n_a + n_c + 5)
-        in_specs = ([vmem()] * 8
+        d2 = pc[2].shape[0]                    # head hidden width
+        mask = _np.zeros((E, E * d2), _np.float32)
+        for e in range(E):
+            mask[e, e * d2:(e + 1) * d2] = 1.0
+        in_specs = ([vmem()] * 9
                     + [pl.BlockSpec(memory_space=pltpu.SMEM)]
                     + [vmem()] * n_groups)
         out_specs = tuple([vmem()] * (n_groups + 1))
@@ -975,7 +1006,8 @@ def make_sac_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
             kernel, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape,
             interpret=pltpu.InterpretParams() if interpret else False,
-        )(sb, nsb, ab, rb, ud, um, nzn, nzp, bcv, *all_in)
+        )(sb, nsb, ab, rb, ud, um, nzn, nzp, jnp.asarray(mask), bcv,
+          *all_in)
         sizes = [n_a, n_c, n_t, n_c, n_a, n_c, n_a, n_c, 5]
         g, o = [], 0
         for sz in sizes:
