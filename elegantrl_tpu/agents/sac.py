@@ -278,12 +278,6 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
         mode = pallas_update_mode
         if mode in (False, 'false', '0') or buffer is None:
             return None
-        if modsac and mode == 'auto':
-            # measured SLOWER than the scan path for ModSAC (6,369 vs 7,593
-            # updates/s — the E=8 per-ensemble head loop serializes small
-            # matmuls the scan path batches; docs/performance.md).  Still
-            # available via use_pallas_update=True / 'interpret'.
-            return None
         interpret = (mode == 'interpret')
         f32_storage = getattr(buffer, 'storage_dtype', jnp.float32) in (
             jnp.float32, 'float32')

@@ -672,35 +672,24 @@ def make_ddpg_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
                 q = mlp3(pc2, jnp.concatenate([x, aa], axis=0))  # NEW critic
                 return -jnp.mean(q)
 
-            # the delayed actor rides a real branch (lax.cond lowers to an
-            # scf.if in Mosaic) so the skipped steps do NO actor fwd/bwd —
-            # at update_freq=2 that's half the actor work vs compute+mask
-            def actor_go(ops):
-                pa_, mua_, nua_, ta_ = ops
-                obj_neg, g_act = jax.value_and_grad(act_loss)(pa_)
-                pa2, mua2, nua2 = adam_step(pa_, mua_, nua_, g_act,
-                                            bc1a, bc2a)
-                ta2 = [t_ * (1.0 - tau) + p_ * tau
-                       for t_, p_ in zip(ta_, pa2)]
-                return (tuple(pa2), tuple(mua2), tuple(nua2), tuple(ta2),
-                        obj_neg)
-
-            def actor_skip(ops):
-                pa_, mua_, nua_, ta_ = ops
-                return (tuple(pa_), tuple(mua_), tuple(nua_), tuple(ta_),
-                        jnp.zeros(()))
-
-            pa2, mua2, nua2, ta2, obj_neg = jax.lax.cond(
-                (valid > 0) & (do_act > 0), actor_go, actor_skip,
-                (pa, mua, nua, ta))
+            # NOTE: the delayed actor is computed unconditionally and
+            # masked, NOT wrapped in lax.cond — measured: the scf.if form
+            # ran slower (7,924 vs 8,657 updates/s) AND raised the Mosaic
+            # scoped-vmem stack by ~3M (both branches' frames), pushing
+            # (128,128)x1024 DDPG over the 16M limit
+            obj_neg, g_act = jax.value_and_grad(act_loss)(pa)
+            pa2, mua2, nua2 = adam_step(pa, mua, nua, g_act, bc1a, bc2a)
+            ta2 = [t_ * (1.0 - tau) + p_ * tau for t_, p_ in zip(ta, pa2)]
 
             objs_ref[pl.ds(u, 1)] = jnp.concatenate(
                 [obj_c.reshape(1, 1), (-obj_neg).reshape(1, 1)], axis=1)
             selc = lambda n_, o_: jnp.where(valid > 0, n_, o_)  # noqa: E731
-            return (pa2, tuple(map(selc, pc2, pc)),
-                    ta2, tuple(map(selc, tc2, tc)),
-                    mua2, tuple(map(selc, muc2, muc)),
-                    nua2, tuple(map(selc, nuc2, nuc)))
+            sela = lambda n_, o_: jnp.where(                    # noqa: E731
+                (valid > 0) & (do_act > 0), n_, o_)
+            return (tuple(map(sela, pa2, pa)), tuple(map(selc, pc2, pc)),
+                    tuple(map(sela, ta2, ta)), tuple(map(selc, tc2, tc)),
+                    tuple(map(sela, mua2, mua)), tuple(map(selc, muc2, muc)),
+                    tuple(map(sela, nua2, nua)), tuple(map(selc, nuc2, nuc)))
 
         final = jax.lax.fori_loop(0, C, body, init)
         for g_out, g_val in zip(out_groups, final):
