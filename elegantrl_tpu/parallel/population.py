@@ -39,6 +39,14 @@ def train_agent_population(args: Config, population_size: int = 8,
     if args.random_seed is None:
         args.random_seed = 0
 
+    # Population vmaps round_fn over the member axis, and the fused Pallas
+    # kernels do NOT lower under vmap (the batching rule turns their SMEM
+    # scalar inputs — the rollout seed, the update's bias-correction table —
+    # into (P, ...) blocks Mosaic rejects).  Members ride the generic scan
+    # paths; the vmapped members ARE the parallelism here.
+    args.use_pallas_rollout = False
+    args.use_pallas_update = False
+
     ctx = build_training(args)
     env, agent = ctx.env, ctx.agent
 

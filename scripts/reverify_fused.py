@@ -1,19 +1,27 @@
 """Re-verify the learning rows whose numerics changed in round 4.
 
-Two changes re-route existing configs through new device code:
+Changes that re-route existing configs through new device code:
 - the StockTrading fused-rollout body (``ops/pallas_rollout.py:
-  make_stock_body``) auto-engages for the stock PPO rows;
+  make_stock_body``) auto-engages for the stock PPO rows (incl. the
+  population_stock members, where the kernel runs under vmap);
 - the off-policy fused update chunks (``ops/pallas_update.py``) auto-engage
-  for uniform-sampling DQN/DDPG/TD3/SAC configs with lane-aligned batches
-  (the DQN CartPole rows keep batch 64 -> ineligible; ModSAC stays on the
-  scan path by measurement; PER/H-term configs are excluded by
-  eligibility).
+  for uniform-sampling DQN/DDPG/TD3/SAC/ModSAC configs with lane-aligned
+  batches within the measured VMEM caps (the DQN CartPole rows keep batch
+  64 -> ineligible; sac_hopper (128x1024) and the SAC/ModSAC host rows
+  (256x512+) exceed the SAC cap and stay on the scan path -> unchanged;
+  PER/H-term configs are excluded by eligibility);
+- the 2048-lane env-block widening (commit 4795e8d) changed the in-kernel
+  RNG block seeds of every >=2048-env fused-rollout config
+  (ppo_pendulum_4k/_16k/_tts), and the categorical fused-update kernel
+  (6e879c2) changed discreteppo_cartpole — neither was re-measured when it
+  landed; population_ppo's 128-env members ride the (vmapped) kernel too.
 
-Both are parity-tested to f32 tolerance, but training is chaotic — rows
-must be re-measured, not assumed.  This driver re-runs exactly the affected
+All are parity-tested to f32 tolerance, but training is chaotic — rows
+must be re-measured, not assumed.  This driver re-runs the affected
 configs in ONE process (one device claim), appends rows to
 /tmp/verify_rows.jsonl, and patches the matching RESULTS.md lines in place
-as each row lands (so a crash loses nothing).
+as each row lands (so a crash loses nothing).  Every affected row was
+re-run and PASSED during round 4; RESULTS.md carries the fresh numbers.
 
 Run on TPU: ``python scripts/reverify_fused.py [--fast-only]``
 """

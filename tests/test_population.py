@@ -22,3 +22,27 @@ def test_population_trains_and_selects():
     assert out['history'].shape == (2, 4)
     assert np.isfinite(out['history']).all()
     assert np.isfinite(out['best_score'])
+
+
+def test_population_disables_pallas_kernels():
+    """The fused Pallas kernels do not lower under the population vmap (the
+    batching rule turns their SMEM scalar inputs into Mosaic-illegal block
+    specs — crashed population_ppo/population_stock on TPU).  The population
+    driver must force the scan paths even when the args request the kernels
+    and the config is otherwise kernel-eligible."""
+    args = Config(agent_class=AgentPPO, env_class=PendulumEnv,
+                  env_args={'env_name': 'Pendulum-v1', 'num_envs': 8,
+                            'max_step': 200, 'state_dim': 3, 'action_dim': 1,
+                            'if_discrete': False})
+    args.net_dims = (16, 16)
+    args.horizon_len = 16
+    args.repeat_times = 2
+    args.batch_size = 128          # lane-aligned: fused-update-eligible
+    args.use_pallas_rollout = 'auto'
+    args.use_pallas_update = 'auto'
+    out = train_agent_population(args, population_size=2, generations=1,
+                                 rounds_per_generation=1, eval_episodes=2,
+                                 verbose=False)
+    assert args.use_pallas_rollout is False
+    assert args.use_pallas_update is False
+    assert np.isfinite(out['best_score'])
