@@ -12,7 +12,10 @@ the entire horizon in a ``fori_loop``, touching HBM only to write the
 (H, ...) rollout tensors — the irreducible traffic.
 
 Scope: PPO (Gaussian head) and DiscretePPO (categorical head) with the
-default 2-hidden-layer MLP, over any env with a registered KERNEL ENV BODY
+default 2-hidden-layer MLP — plus, via ``make_fused_offpolicy_rollout``,
+the off-policy families' exploration (DDPG/TD3 noisy-deterministic,
+SAC/ModSAC tanh-Gaussian, DQN-family epsilon-greedy; see OFFPOLICY_HEADS
+below) — over any env with a registered KERNEL ENV BODY
 — a pure elementwise step function the kernel inlines.  Registered bodies:
 Pendulum-v1, CartPole-v1, HopperSlip-v0, PointChasingVecEnv,
 PointChasingDiscreteEnv (the env modules re-stated in transposed row form;
@@ -942,3 +945,336 @@ def make_pendulum_ppo_rollout(net_dims, horizon_len: int, num_envs: int,
                               reward_scale, discrete=False,
                               store_dtype=store_dtype, block=block,
                               chunk=chunk, interpret=interpret)
+
+
+# -------------------------------------------------- off-policy exploration
+#
+# The same op-count attack applied to the off-policy families' rollout half.
+# Their exploration is strictly SIMPLER than PPO's (no logprob, no critic
+# value, no stored extras — reference AgentBase.explore_vec_env stores only
+# (state, action, reward, undone, unmask), AgentBase.py:130-170), so the
+# kernel drops the critic/logp plumbing and swaps the policy head:
+#
+#   'ddpg'     clip(tanh(mlp(x)) + noise_std * z, -1, 1)        (DDPG/TD3,
+#              agents/ddpg_td3.py:actor_noisy — explore_noise_std static)
+#   'sac'      tanh(mean + exp(clip(log_std)) * z) where [mean|log_std] =
+#              head(gelu-MLP enc) — agents/sac.py:get_action, if_raw_out=False
+#   'modsac'   same sample; enc is RAW-output (no trailing gelu) and the
+#              avg/std heads read it separately — agents/sac.py:actor_dist
+#   'dqn'      per-env epsilon-greedy over q = mlp(x)           (plain DQN,
+#              agents/dqn.py + agents/off_policy.py:epsilon_greedy)
+#   'dqn_enc'  same, q = val1(raw-enc(x))                  (Double/twin DQN)
+#   'dqn_duel' same, q = val - mean(val) + adv over the raw enc (Dueling/D3QN
+#              greedy path, agents/dqn.py:q_greedy_values)
+#
+# Heads with 6 weight tensors reuse the (w1,b1,w2,b2,wo,bo) slot list; the
+# two-head variants (modsac, dqn_duel) append (w3,b3).  Outputs come back in
+# the STANDARD (H, N, dim) layout (one cheap transpose on exit) because the
+# replay buffer ring, the H-term harvesters and the metrics all consume that
+# layout — unlike PPO there is no update-side gather to teach the transposed
+# form to, and the transpose is ~1% of the scan path's cost at these shapes.
+
+OFFPOLICY_HEADS = ('ddpg', 'sac', 'modsac', 'dqn', 'dqn_enc', 'dqn_duel')
+_TWO_HEAD = ('modsac', 'dqn_duel')
+
+
+def _make_offpolicy_kernel(body: KernelEnvBody, chunk: int, n_chunks: int,
+                           block: int, reward_scale: float, head: str,
+                           head_cfg: dict, quantize: bool,
+                           internal_rng: bool):
+    CH, B = chunk, block
+    A = body.action_dim
+    discrete = head.startswith('dqn')
+    if discrete:
+        NZ = 2 + body.n_step + body.n_reset          # coin + rand-action row
+    elif internal_rng:
+        NZ = 2 * A + body.n_step + body.n_reset      # Box-Muller pairs
+    else:
+        NZ = A + body.n_step + body.n_reset          # normals streamed in
+    n_w = 8 if head in _TWO_HEAD else 6
+    n_tabs = len(body.tables)
+    extended = n_tabs > 0
+    noise_std = float(head_cfg.get('noise_std', 0.0))
+    std_lo, std_hi = head_cfg.get('std_clip', (-16.0, 2.0))
+    explore_rate = float(head_cfg.get('explore_rate', 0.25))
+
+    def kernel(*refs):
+        tab_refs = refs[2:2 + n_tabs]
+        rest = refs[:2] + refs[2 + n_tabs:]
+        (f_ref, i_ref, rng_ref, *wrefs,
+         states_o, actions_o, rew_o, trm_o, trc_o, f_o, i_o, f_s, i_s) = rest
+        assert len(wrefs) == n_w
+        fetch = (lambda ti, day: tab_refs[ti][pl.ds(day, 1), :]) \
+            if extended else None
+        c = pl.program_id(1)
+        if internal_rng:
+            # same (key, block, chunk) seeding recipe as the PPO kernel
+            pltpu.prng_seed(
+                rng_ref[0] + pl.program_id(0) * (-1640531527)
+                + c * 1013904223,
+                rng_ref[1])
+
+        @pl.when(c == 0)
+        def _load():
+            f_s[:] = f_ref[:]
+            i_s[:] = i_ref[:]
+
+        w = [r[:] for r in wrefs]
+
+        def policy(x, u_all):
+            """(action_store, env_action, rows-of-noise-consumed)."""
+            h1 = jax.nn.gelu(
+                jnp.dot(w[0], x, preferred_element_type=jnp.float32) + w[1])
+            l2 = jnp.dot(w[2], h1, preferred_element_type=jnp.float32) + w[3]
+            if head == 'ddpg':
+                out = jnp.dot(w[4], jax.nn.gelu(l2),
+                              preferred_element_type=jnp.float32) + w[5]
+                z = jnp.sqrt(-2.0 * jnp.log(1.0 - u_all[0:A])) * jnp.cos(
+                    _TWO_PI * u_all[A:2 * A]) if internal_rng else u_all[0:A]
+                a = jnp.clip(jnp.tanh(out) + noise_std * z, -1.0, 1.0)
+                return a, a
+            if head in ('sac', 'modsac'):
+                if head == 'sac':
+                    out = jnp.dot(w[4], jax.nn.gelu(l2),
+                                  preferred_element_type=jnp.float32) + w[5]
+                    mean, log_std = out[0:A], out[A:2 * A]
+                else:                      # modsac: raw enc, split heads
+                    mean = jnp.dot(w[4], l2,
+                                   preferred_element_type=jnp.float32) + w[5]
+                    log_std = jnp.dot(w[6], l2,
+                                      preferred_element_type=jnp.float32) + w[7]
+                log_std = jnp.clip(log_std, std_lo, std_hi)
+                z = jnp.sqrt(-2.0 * jnp.log(1.0 - u_all[0:A])) * jnp.cos(
+                    _TWO_PI * u_all[A:2 * A]) if internal_rng else u_all[0:A]
+                a = jnp.tanh(mean + jnp.exp(log_std) * z)
+                return a, a
+            # DQN family: epsilon-greedy over the head's q-values
+            if head == 'dqn':
+                q = jnp.dot(w[4], jax.nn.gelu(l2),
+                            preferred_element_type=jnp.float32) + w[5]
+            else:
+                q = jnp.dot(w[4], l2,
+                            preferred_element_type=jnp.float32) + w[5]
+                if head == 'dqn_duel':
+                    adv = jnp.dot(w[6], l2,
+                                  preferred_element_type=jnp.float32) + w[7]
+                    q = q - jnp.mean(q, axis=0, keepdims=True) + adv
+            greedy = jnp.argmax(q, axis=0)[None].astype(jnp.int32)
+            rand = jnp.floor(u_all[1:2] * A).astype(jnp.int32)
+            action = jnp.where(u_all[0:1] < explore_rate, rand, greedy)
+            return action, action.astype(jnp.float32)
+
+        def step(t, carry):
+            f, i, scal = carry
+            x = (body.obs(f, i, scal, fetch) if extended
+                 else body.obs(f, i))
+            if quantize:   # storage round BEFORE acting (base.py contract)
+                x = x.astype(jnp.bfloat16).astype(jnp.float32)
+            states_o[pl.ds(t, 1)] = x[None]
+            if internal_rng:
+                u_all = _uniform_from_bits(pltpu.prng_random_bits((NZ, B)))
+            else:
+                u_all = rng_ref[pl.ds(t, 1)].reshape(NZ, B)
+            action, env_a = policy(x, u_all)
+            if discrete:
+                actions_o[pl.ds(t, 1)] = action
+                u_env = u_all[2:]
+            else:
+                actions_o[pl.ds(t, 1)] = action[None]
+                u_env = u_all[2 * A:] if internal_rng else u_all[A:]
+            u_step = u_env[0:body.n_step]
+            u_reset = u_env[body.n_step:body.n_step + body.n_reset]
+            if extended:
+                f2, i2, reward, terminal, trunc, scal2 = body.step(
+                    f, i, env_a, u_step, scal, fetch)
+            else:
+                f2, i2, reward, terminal, trunc = body.step(f, i, env_a,
+                                                            u_step)
+                scal2 = scal
+            rew_o[pl.ds(t, 1)] = reward * reward_scale
+            trm_o[pl.ds(t, 1)] = terminal.astype(jnp.float32)
+            trc_o[pl.ds(t, 1)] = trunc.astype(jnp.float32)
+            done = terminal | trunc
+            if extended:
+                f2, i2 = body.reset(f2, i2, u_reset, done, fetch)
+            else:
+                f2, i2 = body.reset(f2, i2, u_reset, done)
+            return f2, i2, scal2
+
+        scal0 = body.scalar_init(i_s) if extended else ()
+        f, i, _ = jax.lax.fori_loop(0, CH, step, (f_s[:], i_s[:], scal0))
+        f_s[:], i_s[:] = f, i
+
+        @pl.when(c == n_chunks - 1)
+        def _store():
+            f_o[:] = f_s[:]
+            i_o[:] = i_s[:]
+
+    return kernel, NZ, n_w
+
+
+def _offpolicy_weights(head: str, agent_state):
+    """Flatten the head's actor params into the kernel's transposed slot
+    list (weight layouts per agents/ddpg_td3.py:init / sac.py:init /
+    dqn.py:init)."""
+    col = lambda v: v.reshape(-1, 1)
+    if head == 'ddpg':
+        (w1, b1), (w2, b2), (wo, bo) = agent_state.act
+    elif head == 'sac':
+        (w1, b1), (w2, b2) = agent_state.act['enc']
+        ((wo, bo),) = agent_state.act['head']
+    elif head == 'modsac':
+        (w1, b1), (w2, b2) = agent_state.act['enc']
+        ((wa, ba),) = agent_state.act['avg']
+        ((ws, bs),) = agent_state.act['std']
+        return (w1.T, col(b1), w2.T, col(b2), wa.T, col(ba), ws.T, col(bs))
+    elif head == 'dqn':
+        (w1, b1), (w2, b2), (wo, bo) = agent_state.q['mlp']
+    elif head == 'dqn_enc':
+        (w1, b1), (w2, b2) = agent_state.q['enc']
+        ((wo, bo),) = agent_state.q['val1']
+    elif head == 'dqn_duel':
+        (w1, b1), (w2, b2) = agent_state.q['enc']
+        ((wv, bv),) = agent_state.q['val1']
+        ((wadv, badv),) = agent_state.q['adv1']
+        return (w1.T, col(b1), w2.T, col(b2), wv.T, col(bv),
+                wadv.T, col(badv))
+    else:
+        raise ValueError(f'unknown off-policy kernel head {head!r}')
+    return (w1.T, col(b1), w2.T, col(b2), wo.T, col(bo))
+
+
+def make_fused_offpolicy_rollout(body: KernelEnvBody, net_dims,
+                                 horizon_len: int, num_envs: int,
+                                 reward_scale: float, head: str,
+                                 head_cfg: dict = None, store_dtype=None,
+                                 block: int = 1024, chunk: int = None,
+                                 interpret: bool = False):
+    """Build ``rollout_fn(agent_state, env_state, obs, key) ->
+    (Rollout, env_state', obs')`` — the fused fast path for the off-policy
+    families' exploration (DDPG/TD3/SAC/ModSAC/DQN-family x registered env
+    body).  Returns the STANDARD (H, N, dim) rollout layout."""
+    from ..agents.base import Rollout
+
+    head_cfg = dict(head_cfg or {})
+    if head not in OFFPOLICY_HEADS:
+        raise ValueError(f'head must be one of {OFFPOLICY_HEADS}, got {head}')
+    D1, D2 = (int(d) for d in net_dims)
+    S, A = body.state_dim, body.action_dim
+    F, I = body.n_f32, body.n_i32
+    discrete = head.startswith('dqn')
+    B = min(block, num_envs)
+    if num_envs % B:
+        raise ValueError(f"num_envs={num_envs} not divisible by block={B}")
+    H = int(horizon_len)
+    CH = int(chunk or H)
+    if H % CH:
+        raise ValueError(f"horizon_len={H} not divisible by chunk={CH}")
+    n_chunks = H // CH
+    if store_dtype is not None and store_dtype != jnp.bfloat16:
+        raise ValueError(f'unsupported store_dtype {store_dtype} for the '
+                         'fused rollout kernel (only bfloat16 / None)')
+    internal_rng = not interpret
+    kernel, NZ, n_w = _make_offpolicy_kernel(
+        body, CH, n_chunks, B, float(reward_scale), head, head_cfg,
+        quantize=store_dtype is not None, internal_rng=internal_rng)
+
+    env_f_spec = pl.BlockSpec((F, B), lambda b, c: (0, b),
+                              memory_space=pltpu.VMEM)
+    env_i_spec = pl.BlockSpec((I, B), lambda b, c: (0, b),
+                              memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda b, c: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    if internal_rng:
+        noise_spec = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    else:
+        noise_spec = [pl.BlockSpec((CH, NZ, B), lambda b, c: (c, 0, b),
+                                   memory_space=pltpu.VMEM)]
+    w_shapes = [(D1, S), (D1, 1), (D2, D1), (D2, 1)]
+    if head == 'sac':
+        w_shapes += [(2 * A, D2), (2 * A, 1)]
+    elif head == 'modsac':
+        w_shapes += [(A, D2), (A, 1), (A, D2), (A, 1)]
+    elif head == 'dqn_duel':
+        w_shapes += [(A, D2), (A, 1), (1, D2), (1, 1)]
+    else:                                   # ddpg / dqn / dqn_enc
+        w_shapes += [(A, D2), (A, 1)]
+    in_specs = [env_f_spec, env_i_spec,
+                *[full(t.shape) for t in body.tables],
+                *noise_spec,
+                *[full(s) for s in w_shapes]]
+    hb_spec = pl.BlockSpec((CH, B), lambda b, c: (c, b),
+                           memory_space=pltpu.VMEM)
+    act_dtype = jnp.int32 if discrete else jnp.float32
+    act_shape = ((H, num_envs) if discrete else (H, A, num_envs))
+    act_spec = (hb_spec if discrete else
+                pl.BlockSpec((CH, A, B), lambda b, c: (c, 0, b),
+                             memory_space=pltpu.VMEM))
+    out_specs = (
+        pl.BlockSpec((CH, S, B), lambda b, c: (c, 0, b),
+                     memory_space=pltpu.VMEM),
+        act_spec, hb_spec, hb_spec, hb_spec,
+        env_f_spec, env_i_spec,
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((H, S, num_envs), jnp.float32),
+        jax.ShapeDtypeStruct(act_shape, act_dtype),
+        jax.ShapeDtypeStruct((H, num_envs), jnp.float32),   # rewards
+        jax.ShapeDtypeStruct((H, num_envs), jnp.float32),   # terminals
+        jax.ShapeDtypeStruct((H, num_envs), jnp.float32),   # truncates
+        jax.ShapeDtypeStruct((F, num_envs), jnp.float32),
+        jax.ShapeDtypeStruct((I, num_envs), jnp.int32),
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(num_envs // B, n_chunks),
+        in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((F, B), jnp.float32),
+                        pltpu.VMEM((I, B), jnp.int32)],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
+
+    def rollout_fn(agent_state, env_state, obs, key):
+        del obs
+        weights = _offpolicy_weights(head, agent_state)
+        if internal_rng:
+            noise = jax.lax.bitcast_convert_type(
+                jax.random.key_data(key).reshape(2), jnp.int32)
+        elif discrete:
+            noise = jax.random.uniform(key, (H, NZ, num_envs), jnp.float32)
+        else:
+            kz, ku = jax.random.split(key)
+            noise = jnp.concatenate([
+                jax.random.normal(kz, (H, A, num_envs), jnp.float32),
+                jax.random.uniform(ku, (H, body.n_step + body.n_reset,
+                                        num_envs), jnp.float32),
+            ], axis=1)
+        f0, i0 = body.pack(env_state)
+        (states_t, actions_t, rewards, terms, truncs, f1, i1) = call(
+            f0, i0.reshape(I, -1).astype(jnp.int32),
+            *body.tables, noise, *weights)
+        states = jnp.moveaxis(states_t, 1, 2)            # (H, N, S)
+        actions = (actions_t if discrete
+                   else jnp.moveaxis(actions_t, 1, 2))   # (H, N, A)
+        if store_dtype is not None:
+            states = states.astype(store_dtype)
+            if not discrete:   # base.py: quantize stored actions when no logp
+                actions = actions.astype(store_dtype)
+        rollout = Rollout(states=states, actions=actions, logprobs=None,
+                          rewards=rewards, undones=1.0 - terms,
+                          unmasks=1.0 - truncs, extras=None)
+        env_state2 = body.unpack(f1, i1, env_state)
+        i1 = i1.astype(jnp.int32)
+        if body.tables:
+            fetch = lambda ti, day: jax.lax.dynamic_slice_in_dim(  # noqa
+                body.tables[ti], day, 1, axis=0)
+            last_obs = body.obs(f1, i1, (i1[0, 0],), fetch).T
+        else:
+            last_obs = body.obs(f1, i1).T
+        return rollout, env_state2, last_obs
+
+    return rollout_fn

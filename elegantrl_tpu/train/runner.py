@@ -80,6 +80,20 @@ def _make_agent(args: Config, buffer: Optional[ReplayBuffer]) -> AgentDef:
                 buffer=buffer)
 
 
+# agent name -> fused off-policy exploration head (ops/pallas_rollout.py).
+# H-term variants share the base explore_action (the H-term only changes the
+# update), so they ride the same head.  EmbedDQN/EnsembleDQN have non-MLP
+# policy nets and stay on the scan path.
+_OFFPOLICY_KERNEL_HEADS = {
+    'AgentDDPG': 'ddpg', 'AgentDDPGHterm': 'ddpg',
+    'AgentTD3': 'ddpg', 'AgentTD3Hterm': 'ddpg',
+    'AgentSAC': 'sac', 'AgentSACHterm': 'sac',
+    'AgentModSAC': 'modsac', 'AgentModSACHterm': 'modsac',
+    'AgentDQN': 'dqn', 'AgentDoubleDQN': 'dqn_enc',
+    'AgentDuelingDQN': 'dqn_duel', 'AgentD3QN': 'dqn_duel',
+}
+
+
 def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
                           horizon_len: int, reward_scale: float,
                           store_dtype, mesh):
@@ -119,14 +133,28 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
                              or body.action_dim != spec.action_dim):
         body = None   # e.g. PointChasing with dim != 2: body is dim-fixed
     want_agent = 'AgentDiscretePPO' if spec.if_discrete else 'AgentPPO'
+    # Off-policy exploration heads (ops/pallas_rollout.py:OFFPOLICY_HEADS):
+    # same fused-rollout kernel family minus the critic/logp plumbing.
+    off_head = _OFFPOLICY_KERNEL_HEADS.get(agent.name)
+    if off_head is not None and mesh is not None:
+        # off-policy fused rollouts are single-chip for now (the scan path
+        # handles mesh DP; the standard-layout shard wrapper is untested)
+        if mode is True:
+            raise ValueError(
+                'use_pallas_rollout=True: the off-policy fused rollout '
+                'does not run under a mesh yet (use the scan path)')
+        return None
     eligible = (body is not None and env.host_pool is None
-                and agent.name == want_agent
-                and len(tuple(args.net_dims)) == 2)
+                and len(tuple(args.net_dims)) == 2
+                and (agent.name == want_agent
+                     or (off_head is not None
+                         and agent.rollout_extras is None)))
     if not eligible:
         if mode is True:
             raise ValueError(
-                'use_pallas_rollout=True requires 2-hidden-layer MLP '
-                f'(Discrete)PPO on a kernel-body env '
+                'use_pallas_rollout=True requires a 2-hidden-layer MLP '
+                f'(Discrete)PPO or off-policy agent '
+                f'({sorted(_OFFPOLICY_KERNEL_HEADS)}) on a kernel-body env '
                 f'{sorted(KERNEL_ENV_BODIES)} (got agent={agent.name}, '
                 f'env={spec.env_name}, net_dims={args.net_dims})')
         return None
@@ -136,8 +164,14 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
     # the widest env block (lane utilisation), then the longest time chunk
     # that fits; horizons longer than the chunk iterate the chunk grid dim.
     S, A = body.state_dim, body.action_dim
-    noise_rows = (A + body.n_step + body.n_reset) if interpret else 0
-    rows = S + (1 if spec.if_discrete else A) + 5 + noise_rows
+    if off_head is None:
+        noise_rows = (A + body.n_step + body.n_reset) if interpret else 0
+        rows = S + (1 if spec.if_discrete else A) + 5 + noise_rows
+    else:
+        nz = ((2 + body.n_step + body.n_reset) if spec.if_discrete
+              else (A + body.n_step + body.n_reset))
+        noise_rows = nz if interpret else 0
+        rows = S + (1 if spec.if_discrete else A) + 3 + noise_rows
     # VMEM-resident market tables (StockTrading) eat into the block budget
     tab_bytes = sum(int(t.size) * 4 for t in body.tables)
     # 2048-wide blocks measured fastest on every registered env body at
@@ -181,9 +215,26 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
                 "use_pallas_rollout='interpret' for CPU testing")
         return None
     shard_note = f", sharded x{n_shards}" if mesh is not None else ""
+    head_note = f", head={off_head}" if off_head is not None else ""
     print("| build_training: pallas fused-rollout fast path enabled "
-          f"(env={spec.env_name}, block={block}, chunk={chunk}{shard_note})",
-          flush=True)
+          f"(env={spec.env_name}, block={block}, chunk={chunk}"
+          f"{head_note}{shard_note})", flush=True)
+    if off_head is not None:
+        from ..ops.pallas_rollout import make_fused_offpolicy_rollout
+        # hyper defaults MUST mirror the agent factories', which read the
+        # same args (agents/ddpg_td3.py:62-63, sac.py:76, dqn.py:44 —
+        # cross-checked by tests/test_pallas_offpolicy.py)
+        head_cfg = {
+            'noise_std': float(getattr(args, 'explore_noise_std',
+                                       getattr(args, 'explore_noise', 0.05))),
+            'std_clip': ((-20.0, 2.0) if off_head == 'modsac'
+                         else (-16.0, 2.0)),
+            'explore_rate': float(getattr(args, 'explore_rate', 0.25)),
+        }
+        return make_fused_offpolicy_rollout(
+            body, tuple(args.net_dims), horizon_len, num_envs, reward_scale,
+            head=off_head, head_cfg=head_cfg, store_dtype=store_dtype,
+            block=block, chunk=chunk, interpret=interpret)
     if mesh is not None:
         from ..ops.pallas_rollout import make_sharded_fused_rollout
         return make_sharded_fused_rollout(
