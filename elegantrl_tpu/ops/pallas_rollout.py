@@ -1278,3 +1278,47 @@ def make_fused_offpolicy_rollout(body: KernelEnvBody, net_dims,
         return rollout, env_state2, last_obs
 
     return rollout_fn
+
+
+def make_sharded_offpolicy_rollout(body: KernelEnvBody, net_dims,
+                                   horizon_len: int, num_envs: int,
+                                   reward_scale: float, mesh, head: str,
+                                   head_cfg: dict = None, store_dtype=None,
+                                   block: int = 1024, chunk: int = None,
+                                   interpret: bool = False):
+    """Mesh-DP wrapper for the off-policy fused rollout: same recipe as
+    ``make_sharded_fused_rollout`` (env lanes independent, per-shard RNG via
+    ``fold_in(axis_index)``), but the outputs are STANDARD-layout (H, N, dim)
+    with the env axis SECOND, so rollout tensors shard on axis 1 — aligned
+    with the replay ring's ``(M, N, dim)`` num_seqs sharding
+    (parallel/mesh.py:shard_train_carry), so the buffer insert is
+    communication-free and only the minibatch sample gathers cross-shard."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..agents.base import Rollout
+
+    axis = mesh.axis_names[0]
+    ndev = int(math.prod(mesh.devices.shape))
+    if num_envs % ndev:
+        raise ValueError(f'num_envs={num_envs} not divisible by mesh size '
+                         f'{ndev}')
+    local = make_fused_offpolicy_rollout(
+        body, net_dims, horizon_len, num_envs // ndev, reward_scale,
+        head=head, head_cfg=head_cfg, store_dtype=store_dtype,
+        block=block, chunk=chunk, interpret=interpret)
+
+    def shard_fn(agent_state, env_state, obs, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return local(agent_state, env_state, obs, key)
+
+    discrete = head.startswith('dqn')
+    env_sp = P(axis)
+    ro_sp = Rollout(
+        states=P(None, axis, None),
+        actions=P(None, axis) if discrete else P(None, axis, None),
+        logprobs=None, rewards=P(None, axis),
+        undones=P(None, axis), unmasks=P(None, axis), extras=None)
+    return shard_map(shard_fn, mesh=mesh,
+                     in_specs=(P(), env_sp, env_sp, P()),
+                     out_specs=(ro_sp, env_sp, env_sp),
+                     check_vma=False)

@@ -136,14 +136,6 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
     # Off-policy exploration heads (ops/pallas_rollout.py:OFFPOLICY_HEADS):
     # same fused-rollout kernel family minus the critic/logp plumbing.
     off_head = _OFFPOLICY_KERNEL_HEADS.get(agent.name)
-    if off_head is not None and mesh is not None:
-        # off-policy fused rollouts are single-chip for now (the scan path
-        # handles mesh DP; the standard-layout shard wrapper is untested)
-        if mode is True:
-            raise ValueError(
-                'use_pallas_rollout=True: the off-policy fused rollout '
-                'does not run under a mesh yet (use the scan path)')
-        return None
     eligible = (body is not None and env.host_pool is None
                 and len(tuple(args.net_dims)) == 2
                 and (agent.name == want_agent
@@ -220,7 +212,8 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
           f"(env={spec.env_name}, block={block}, chunk={chunk}"
           f"{head_note}{shard_note})", flush=True)
     if off_head is not None:
-        from ..ops.pallas_rollout import make_fused_offpolicy_rollout
+        from ..ops.pallas_rollout import (make_fused_offpolicy_rollout,
+                                          make_sharded_offpolicy_rollout)
         # hyper defaults MUST mirror the agent factories', which read the
         # same args (agents/ddpg_td3.py:62-63, sac.py:76, dqn.py:44 —
         # cross-checked by tests/test_pallas_offpolicy.py)
@@ -231,6 +224,12 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
                          else (-16.0, 2.0)),
             'explore_rate': float(getattr(args, 'explore_rate', 0.25)),
         }
+        if mesh is not None:
+            return make_sharded_offpolicy_rollout(
+                body, tuple(args.net_dims), horizon_len, num_envs,
+                reward_scale, mesh, head=off_head, head_cfg=head_cfg,
+                store_dtype=store_dtype, block=block, chunk=chunk,
+                interpret=interpret)
         return make_fused_offpolicy_rollout(
             body, tuple(args.net_dims), horizon_len, num_envs, reward_scale,
             head=off_head, head_cfg=head_cfg, store_dtype=store_dtype,

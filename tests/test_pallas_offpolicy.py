@@ -210,3 +210,85 @@ def test_bf16_quantize_before_act():
                       + 0.05 * jnp.moveaxis(z, 1, 2), -1.0, 1.0)
     np.testing.assert_allclose(rollout.actions.astype(jnp.float32), expect,
                                rtol=1e-2, atol=1e-2)   # bf16 action rounding
+
+
+def test_sharded_offpolicy_rollout_parity():
+    """shard_map DP wrapper == manual per-shard kernel runs with the same
+    folded keys, concatenated along the STANDARD layout's env axis (axis 1
+    for rollout tensors, axis 0 for env state / obs)."""
+    from elegantrl_tpu.ops.pallas_rollout import (
+        make_sharded_offpolicy_rollout)
+    from elegantrl_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh({'dp': 8})
+    n, h, n_loc = 32, 8, 4
+    args = Config()
+    agent = make_ddpg_td3(NET_DIMS, 3, 1, args, buffer=None, td3=True)
+    s = agent.init(jax.random.PRNGKey(0))
+    env = make_pendulum()
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    env_state = jax.vmap(env.init)(keys)
+    env_state = env_state._replace(
+        t=(jnp.arange(n) * 29 % 200).astype(jnp.int32))
+    obs = jax.vmap(env.obs)(env_state)
+    key = jax.random.PRNGKey(3)
+    cfg = {'noise_std': 0.1}
+    sharded = make_sharded_offpolicy_rollout(
+        PENDULUM_BODY, NET_DIMS, h, n, 1.0, mesh, head='ddpg', head_cfg=cfg,
+        block=n_loc, chunk=4, interpret=True)
+    ro, es2, ob2 = jax.jit(sharded)(s, env_state, obs, key)
+    local = make_fused_offpolicy_rollout(
+        PENDULUM_BODY, NET_DIMS, h, n_loc, 1.0, head='ddpg', head_cfg=cfg,
+        block=n_loc, chunk=4, interpret=True)
+    parts = []
+    for k in range(8):
+        shard_es = jax.tree.map(lambda x: x[k * n_loc:(k + 1) * n_loc],
+                                env_state)
+        parts.append(local(s, shard_es, obs[k * n_loc:(k + 1) * n_loc],
+                           jax.random.fold_in(key, k)))
+    exp_ro = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1),
+                          *[p[0] for p in parts])
+    for a, b in zip(jax.tree.leaves(ro), jax.tree.leaves(exp_ro)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    exp_es = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                          *[p[1] for p in parts])
+    for a, b in zip(jax.tree.leaves(es2), jax.tree.leaves(exp_es)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(ob2), np.asarray(jnp.concatenate([p[2] for p in parts],
+                                                    axis=0)))
+
+
+def test_sharded_offpolicy_fast_path_trains():
+    """End-to-end: build_training under a dp-8 mesh auto-selects the
+    SHARDED off-policy fused rollout; the replay insert is shard-aligned
+    and a training round produces finite metrics with replicated params."""
+    from elegantrl_tpu.agents import AgentSAC
+    from elegantrl_tpu.envs import PendulumEnv
+    from elegantrl_tpu.parallel.mesh import make_mesh
+    from elegantrl_tpu.train.runner import build_training
+    mesh = make_mesh({'dp': 8})
+    args = Config(agent_class=AgentSAC, env_class=PendulumEnv,
+                  env_args={'env_name': 'Pendulum-v1', 'num_envs': 64,
+                            'max_step': 200, 'state_dim': 3,
+                            'action_dim': 1, 'if_discrete': False})
+    args.horizon_len = 16
+    args.net_dims = NET_DIMS
+    args.batch_size = 32
+    args.buffer_size = 4096
+    args.use_pallas_rollout = 'interpret'
+    ctx = build_training(args, mesh=mesh)
+
+    @jax.jit
+    def two_rounds(c):
+        c, m1 = ctx.round_fn(c, None)
+        c, m2 = ctx.round_fn(c, None)
+        return c, (m1, m2)
+
+    carry2, (m1, m2) = two_rounds(ctx.carry)
+    for v in jax.tree.leaves((m1, m2)):
+        assert np.all(np.isfinite(np.asarray(v)))
+    assert int(carry2.buf_state.size) == 32
+    leaf = jax.tree.leaves(carry2.agent_state.act)[0]
+    shards = [np.asarray(sh.data) for sh in leaf.addressable_shards]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(shards[0], sh)
