@@ -105,9 +105,11 @@ def bench_full_round(env_class, env_args, agent_class, use_pallas,
     args = Config(agent_class=agent_class, env_class=env_class,
                   env_args=dict(env_args, num_envs=num_envs))
     args.horizon_len = horizon
-    args.net_dims = (64, 64)
+    args.net_dims = (128, 128)
     args.batch_size = batch
-    args.buffer_size = max(2 ** 17, num_envs * horizon * 4)
+    args.buffer_size = 4096       # ring DEPTH per env sequence (x num_envs)
+    args.repeat_times = 4.0
+    args.gamma = 0.99
     args.use_pallas_rollout = use_pallas
     ctx = build_training(args)
 
@@ -160,7 +162,8 @@ def main():
               f"{fast / slow:7.1f}x", flush=True)
 
     # full TD3 round at the td3_hopper verify-row shape
-    ne, hz, bs = 1024, 64, 512
+    # (verify_learning.py: 1024 envs, horizon 32, batch 1024, repeat 4)
+    ne, hz, bs = 1024, 32, 1024
     slow = bench_full_round(HopperEnv, hop, AgentTD3, False, ne, hz, bs)
     fast = bench_full_round(HopperEnv, hop, AgentTD3, True, ne, hz, bs)
     print(f"| full TD3 round ({ne} envs x {hz} steps, batch {bs}): "
