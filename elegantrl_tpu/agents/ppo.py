@@ -333,8 +333,13 @@ def make_ppo(net_dims, state_dim: int, action_dim: int, args,
                 key_t, key_h = jax.random.split(key_t)
             if a2c:  # A2C samples whole time-slices (AgentPPO.py:296-302)
                 ids0 = jax.random.randint(key_t, (batch_size,), 0, horizon_len)
-                state = states[ids0]
-                action = actions[ids0]
+                if tsn:  # transposed (H, S, N) layout from the fast rollout
+                    state = jnp.moveaxis(states[ids0], 1, 2)
+                    action = (actions[ids0] if discrete
+                              else jnp.moveaxis(actions[ids0], 1, 2))
+                else:
+                    state = states[ids0]
+                    action = actions[ids0]
                 unmask = unmasks[ids0]
                 logprob = None
                 advantage = advantages[ids0]

@@ -132,13 +132,18 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
     if body is not None and (body.state_dim != spec.state_dim
                              or body.action_dim != spec.action_dim):
         body = None   # e.g. PointChasing with dim != 2: body is dim-fixed
-    want_agent = 'AgentDiscretePPO' if spec.if_discrete else 'AgentPPO'
+    # A2C shares PPO's exploration contract exactly (same factory, same
+    # actor/critic/logprob/value stores — agents/ppo.py:make_ppo); only its
+    # update differs, and the time-slice gather handles the kernel's
+    # transposed layout (ppo.py 'tsn' branch)
+    want_agents = (('AgentDiscretePPO', 'AgentDiscreteA2C')
+                   if spec.if_discrete else ('AgentPPO', 'AgentA2C'))
     # Off-policy exploration heads (ops/pallas_rollout.py:OFFPOLICY_HEADS):
     # same fused-rollout kernel family minus the critic/logp plumbing.
     off_head = _OFFPOLICY_KERNEL_HEADS.get(agent.name)
     eligible = (body is not None and env.host_pool is None
                 and len(tuple(args.net_dims)) == 2
-                and (agent.name == want_agent
+                and (agent.name in want_agents
                      or (off_head is not None
                          and agent.rollout_extras is None)))
     if not eligible:
@@ -168,8 +173,19 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
     tab_bytes = sum(int(t.size) * 4 for t in body.tables)
     # 2048-wide blocks measured fastest on every registered env body at
     # 4096 envs (Pendulum 388->413M, CartPole 377->414M, HopperSlip
-    # 302->311M env-steps/s full-round; 4096-wide was slightly below 2048)
-    sizes = (2048, 1024, 512, 256, 128) if not interpret else (16, 8)
+    # 302->311M env-steps/s full-round; 4096-wide was slightly below 2048).
+    # Below 128 envs the whole env count rides ONE lane-padded block:
+    # those configs are pure launch-latency (horizon x ~30 scan ops vs one
+    # kernel) — measured 21.5x at 8 Pendulum envs (732.6k -> 15.8M
+    # env-steps/s rollout half, TD3 head, 2026-08-20); the idle lanes cost
+    # nothing that matters at that scale.
+    envs_local = num_envs // n_shards     # per-device env count under a mesh
+    if interpret:
+        sizes = (16, 8)
+    elif envs_local < 128:
+        sizes = (envs_local,)
+    else:
+        sizes = (2048, 1024, 512, 256, 128)
     forced = getattr(args, 'pallas_rollout_block', None)
     if forced:   # tuning override: exact env-block width
         sizes = (int(forced),)
@@ -182,7 +198,6 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
     if horizon_len not in cands:
         cands.insert(0, horizon_len)
     cands.sort(reverse=True)
-    envs_local = num_envs // n_shards     # per-device env count under a mesh
     for b in sizes:
         if envs_local % b or b > envs_local:
             continue

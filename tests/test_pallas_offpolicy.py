@@ -292,3 +292,51 @@ def test_sharded_offpolicy_fast_path_trains():
     shards = [np.asarray(sh.data) for sh in leaf.addressable_shards]
     for sh in shards[1:]:
         np.testing.assert_array_equal(shards[0], sh)
+
+
+def test_a2c_update_tsn_layout_equivalence():
+    """A2C consumes the kernel's transposed ('tsn') rollout: updating from
+    the tsn layout must produce bit-identical params to updating from the
+    same data un-transposed to the standard layout (same key)."""
+    from elegantrl_tpu.agents.ppo import make_ppo
+    from elegantrl_tpu.ops.pallas_rollout import make_fused_rollout
+
+    args = Config()
+    args.net_dims = NET_DIMS
+    args.batch_size = 8
+    args.repeat_times = 2.0
+    agent = make_ppo(NET_DIMS, 3, 1, args, a2c=True)
+    s = agent.init(jax.random.PRNGKey(0))
+    env, env_state, obs = _pendulum_setup()
+    fast = make_fused_rollout(PENDULUM_BODY, NET_DIMS, H, N, 1.0,
+                              discrete=False, block=8, interpret=True)
+    ro, es2, ob2 = fast(s, env_state, obs, jax.random.PRNGKey(3))
+    assert 'tsn' in ro.extras
+    ro_std = ro._replace(states=jnp.moveaxis(ro.states, 1, 2),
+                         actions=jnp.moveaxis(ro.actions, 1, 2),
+                         extras={'values': ro.extras['values']})
+    k = jax.random.PRNGKey(11)
+    s_tsn, m_tsn = agent.update(s, ro, ob2, k)
+    s_std, m_std = agent.update(s, ro_std, ob2, k)
+    for a, b in zip(jax.tree.leaves(s_tsn), jax.tree.leaves(s_std)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_runner_a2c_fast_path_trains(capsys):
+    """The runner auto-selects the fused rollout for A2C too."""
+    from elegantrl_tpu.train.runner import build_training
+    from elegantrl_tpu.envs import PendulumEnv
+    from elegantrl_tpu.agents import AgentA2C
+
+    args = Config(agent_class=AgentA2C, env_class=PendulumEnv,
+                  env_args={'env_name': 'Pendulum-v1', 'num_envs': 16,
+                            'max_step': 200, 'state_dim': 3,
+                            'action_dim': 1, 'if_discrete': False})
+    args.horizon_len = 8
+    args.net_dims = NET_DIMS
+    args.batch_size = 8
+    args.use_pallas_rollout = 'interpret'
+    ctx = build_training(args)
+    assert 'pallas fused-rollout fast path enabled' in capsys.readouterr().out
+    carry, metrics = jax.jit(ctx.round_fn)(ctx.carry, None)
+    assert np.isfinite(float(metrics['obj_critic']))
