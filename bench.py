@@ -98,8 +98,11 @@ def child():
         the per-op ``raw_bytes_accessed`` / ``model_flops`` /
         ``device_duration_ps`` rows the TPU runtime emits are aggregated
         (``utils/profiling.py:parse_device_trace``).  Utilisations are
-        against device-busy time; ``busy_frac`` relates that window's busy
-        time to the untraced steady-state wall time."""
+        against device-busy time; ``busy_frac`` is the device-busy fraction
+        of the traced window's own device-active span, computed entirely
+        inside the trace's clock (module-event sum(dur)/span) so it is
+        <= 1 by construction — round 4 divided by an untraced steady-state
+        wall estimate and trace overhead pushed the ratio to 1.0028."""
         args = _make_args(num_envs=num_envs, horizon_len=horizon,
                           batch_size=batch)
         ctx = build_training(args)
@@ -137,7 +140,7 @@ def child():
                     'hbm_util': agg['bytes'] / busy / 1e9 / peaks['hbm_gbps'],
                     'compute_util': (agg['flops'] / busy / 1e12
                                      / peaks['f32_tflops']),
-                    'busy_frac': busy / (dt * trace_rounds / rounds),
+                    'busy_frac': agg['busy_frac'],
                 }
         return dt, sol
 

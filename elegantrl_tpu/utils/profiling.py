@@ -149,6 +149,14 @@ def parse_device_trace(log_dir: str) -> Optional[Dict[str, object]]:
     by_cat = collections.defaultdict(float)
     by_op = collections.defaultdict(float)
     op_count = collections.defaultdict(int)
+    # module-event wall clock (trace 'ts'/'dur' in us): busy fraction must be
+    # computed INSIDE the trace's own clock.  Round 4 divided traced busy
+    # time by an UNTRACED steady-state wall estimate; trace overhead makes
+    # the traced window slower, so the ratio exceeded 1 (driver BENCH_r04:
+    # 1.0028).  sum(dur) / (max(ts+dur) - min(ts)) over the serial module
+    # stream is the same quantity measured consistently, and is <= 1 by
+    # construction for non-overlapping modules.
+    mod_dur_us, mod_t0, mod_t1 = 0.0, float('inf'), float('-inf')
     for e in data['traceEvents']:
         if e.get('ph') != 'X' or e.get('pid') not in dev_pids:
             continue
@@ -156,6 +164,10 @@ def parse_device_trace(log_dir: str) -> Optional[Dict[str, object]]:
         dur_ps = int(args.get('device_duration_ps', 0))
         if e.get('tid') in mod_tids.get(e.get('pid'), ()):
             busy_ps += dur_ps
+            ts, dur = float(e.get('ts', 0.0)), float(e.get('dur', 0.0))
+            mod_dur_us += dur
+            mod_t0 = min(mod_t0, ts)
+            mod_t1 = max(mod_t1, ts + dur)
         elif e.get('tid') in op_tids.get(e.get('pid'), ()):
             bytes_acc += float(args.get('raw_bytes_accessed',
                                         args.get('bytes_accessed', 0)))
@@ -168,7 +180,12 @@ def parse_device_trace(log_dir: str) -> Optional[Dict[str, object]]:
     if busy_ps == 0:
         return None
     top_ops = dict(sorted(by_op.items(), key=lambda kv: -kv[1]))
+    span_s = max(mod_t1 - mod_t0, 0.0) * 1e-6
+    busy_frac = (mod_dur_us * 1e-6 / span_s) if span_s > 0 else None
     return {'busy_s': busy_ps * 1e-12, 'bytes': bytes_acc, 'flops': flops,
+            # device-active span of the traced window and the busy fraction
+            # over it, both from the module events' own clock (<= 1 always)
+            'span_s': span_s, 'busy_frac': busy_frac,
             # NOTE: 'while' rows span their body ops (nested time)
             'seconds_by_category': dict(sorted(
                 by_cat.items(), key=lambda kv: -kv[1])),
