@@ -217,13 +217,16 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
         interpret = (mode == 'interpret')
         f32_storage = getattr(buffer, 'storage_dtype', jnp.float32) in (
             jnp.float32, 'float32')
-        eligible = (not hterm and not if_use_per
+        eligible = (not hterm
                     and lambda_fit_cum_r == 0.0
                     and len(net_dims) == 2
                     and batch_size % 128 == 0 and batch_size <= 2048
                     # measured VMEM ceiling: (128,128)x1024 compiles
                     and max(net_dims) * batch_size <= 131072
                     and f32_storage
+                    # PER pre-sampling is per-seq stratified
+                    # (replay_buffer.py:sample_for_per asserts this)
+                    and (not if_use_per or batch_size % buffer.num_seqs == 0)
                     # mesh DP shards the buffer; the un-shard_mapped
                     # kernel cannot ride XLA's auto-partitioner
                     and not getattr(args, 'mesh_axes', None))
@@ -231,9 +234,9 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
             if mode is True:
                 raise ValueError(
                     'use_pallas_update=True (DDPG/TD3) requires the non-H-'
-                    'term agent, uniform sampling (no PER), '
-                    'lambda_fit_cum_r=0, a 2-hidden-layer net, f32 storage, '
-                    'and batch_size a multiple of 128 and <= 2048 (got '
+                    'term agent, lambda_fit_cum_r=0, a 2-hidden-layer net, '
+                    'f32 storage, batch_size a multiple of 128 and <= 2048 '
+                    '(and of num_envs under PER) (got '
                     f'batch_size={batch_size}, net_dims={net_dims})')
             return None
         if not interpret and jax.devices()[0].platform != 'tpu':
@@ -251,7 +254,8 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
         chunk_fn = make_ddpg_fused_chunk(
             state_dim, action_dim, batch_size, C, gamma=gamma, tau=tau,
             lr=lr, clip_grad=clip_grad, td3=td3,
-            num_ensembles=num_ensembles, interpret=interpret)
+            num_ensembles=num_ensembles, per=if_use_per,
+            interpret=interpret)
         N = buffer.num_seqs
 
         def update(s: DDPGState, buf_state, key):
@@ -279,16 +283,39 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
             ddpg_do = (size >= buffer_init_size).astype(jnp.float32)
 
             def chunk_body(ci, carry):
-                pa, pc, ta, tc, mua, muc, nua, nuc, sums = carry
+                pa, pc, ta, tc, mua, muc, nua, nuc, tree, sums = carry
                 idx = ci * C + jnp.arange(C)
                 # the scan path's exact RNG: fold_in per update index, then
                 # split -> (sample key, TD3 smoothing-noise key)
                 kk = jax.vmap(lambda i: jax.random.split(
                     jax.random.fold_in(key, i)))(idx)      # (C, 2, key)
-                ids = jax.vmap(lambda k: jax.random.randint(
-                    k, (batch_size,), 0, sample_len * N))(kk[:, 0])
-                ids0 = ids % sample_len
-                ids1 = ids // sample_len
+                valid = (idx < update_times).astype(jnp.float32)
+                if if_use_per:
+                    # PER pre-sample: all C minibatches drawn against the
+                    # tree state at chunk START (the scan path re-samples
+                    # after every priority write; the <= C-1-update lag is
+                    # the documented fused-path approximation —
+                    # ops/pallas_update.py:make_ddpg_fused_chunk)
+                    sub = batch_size // N
+                    ids0ns, prios = jax.vmap(
+                        lambda k: buffer.tree.sample(tree, k, sub)
+                    )(kk[:, 0])                             # (C, N, sub)
+                    ids0ns = jnp.minimum(ids0ns, size - 2)
+                    min_prio = buffer.tree.min_leaf(tree, size)   # (N,)
+                    w = jnp.power(
+                        prios / jnp.maximum(min_prio, 1e-8)[None, :, None],
+                        -buffer.per_beta)                   # (C, N, sub)
+                    ids1ns = jnp.broadcast_to(
+                        jnp.arange(N)[None, :, None], ids0ns.shape)
+                    ids0 = ids0ns.reshape(C, -1)            # seq-major (C, B)
+                    ids1 = ids1ns.reshape(C, -1)
+                    iw = w.reshape(C, 1, batch_size)
+                else:
+                    ids = jax.vmap(lambda k: jax.random.randint(
+                        k, (batch_size,), 0, sample_len * N))(kk[:, 0])
+                    ids0 = ids % sample_len
+                    ids1 = ids // sample_len
+                    iw = None
                 flat = ids0 * N + ids1
                 sb = jnp.take(states2d, flat, axis=0)       # (C, B, S)
                 nsb = jnp.take(states2d, flat + N, axis=0)
@@ -303,7 +330,6 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
                     nz = nz.transpose(0, 2, 1)              # (C, A, B)
                 else:
                     nz = jnp.zeros((C, action_dim, batch_size), jnp.float32)
-                valid = (idx < update_times).astype(jnp.float32)
                 if td3:   # delayed actor every update_freq-th step
                     do_act = (idx % update_freq == 0).astype(jnp.float32)
                     # actor Adam count at execution: prior actor steps + 1
@@ -322,19 +348,45 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
                                  1.0 - jnp.power(0.999, act_step),
                                  valid, do_act,
                                  jnp.zeros((C,), jnp.float32)], axis=1)
-                (pa, pc, ta, tc, mua, muc, nua, nuc, objs) = chunk_fn(
+                outs = chunk_fn(
                     pa, pc, ta, tc, mua, muc, nua, nuc,
                     sb.transpose(0, 2, 1), nsb.transpose(0, 2, 1),
-                    ab.transpose(0, 2, 1), rb, ud, um, nz, bcv)
+                    ab.transpose(0, 2, 1), rb, ud, um, nz, bcv,
+                    **({'iw': iw} if if_use_per else {}))
+                (pa, pc, ta, tc, mua, muc, nua, nuc, objs) = outs[:9]
+                if if_use_per:
+                    # post-chunk priority fold: the scan path's per-update
+                    # td_error_update_for_per, applied sequentially (order
+                    # matters for duplicate ids) on the kernel's per-sample
+                    # TD errors (replay_buffer.py:153-160)
+                    td_out = outs[9]                        # (C, 1, B)
+
+                    def prio_body(u, tr):
+                        prob = jnp.power(
+                            jnp.clip(td_out[u, 0], 1e-8, 10.0),
+                            buffer.per_alpha)
+                        return jax.lax.cond(
+                            valid[u] > 0,
+                            lambda t: buffer.tree.update_scattered(
+                                t, ids0[u], ids1[u], prob),
+                            lambda t: t, tr)
+
+                    tree = jax.lax.fori_loop(0, C, prio_body, tree)
                 a_upd = valid * do_act
                 sums = sums + jnp.stack([jnp.sum(objs[:, 0] * valid),
                                          jnp.sum(objs[:, 1] * a_upd),
                                          jnp.sum(a_upd)])
-                return pa, pc, ta, tc, mua, muc, nua, nuc, sums
+                return pa, pc, ta, tc, mua, muc, nua, nuc, tree, sums
 
-            (pa, pc, ta, tc, mua, muc, nua, nuc, sums) = jax.lax.fori_loop(
-                0, n_chunks, chunk_body,
-                (pa, pc, ta, tc, mua, muc, nua, nuc, jnp.zeros(3)))
+            tree0 = (buf_state.per_tree if if_use_per
+                     else (jnp.zeros(()), jnp.zeros(())))
+            (pa, pc, ta, tc, mua, muc, nua, nuc, tree, sums) = \
+                jax.lax.fori_loop(
+                    0, n_chunks, chunk_body,
+                    (pa, pc, ta, tc, mua, muc, nua, nuc, tree0,
+                     jnp.zeros(3)))
+            if if_use_per:
+                buf_state = buf_state._replace(per_tree=tree)
             backa = lambda xs: mlp_unflatten(
                 [_from_kernel(x, sh) for x, sh in zip(xs, a_shapes)])
             backc = lambda xs: mlp_unflatten(

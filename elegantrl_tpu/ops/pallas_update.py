@@ -582,7 +582,7 @@ def make_ddpg_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
                           lr: float, clip_grad: float, td3: bool,
                           num_ensembles: int, b1: float = 0.9,
                           b2: float = 0.999, eps: float = 1e-8,
-                          interpret: bool = False):
+                          per: bool = False, interpret: bool = False):
     """Fused DDPG/TD3 SGD chunk, the off-policy twin of
     ``make_dqn_fused_chunk``: per step, TD target from the soft-updated
     target critic with the ONLINE actor's (TD3: noise-smoothed) next action,
@@ -595,6 +595,18 @@ def make_ddpg_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
     ``(C, 7)`` table: (bc1_cri, bc2_cri, bc1_act, bc2_act, valid, do_actor,
     unused).  Returns ``chunk(pa, pc, ta, tc, mua, muc, nua, nuc, sb, nsb,
     ab, rb, ud, um, nz, bcv)`` -> same leaf groups + ``objs (C, 2)``.
+
+    ``per=True`` (VERDICT r4 #5 — reference PER branch,
+    ``elegantrl/train/replay_buffer.py:136-179``): sampling and the wide
+    segment-tree update stay OUTSIDE the kernel; the chunk takes one extra
+    input ``iw (C, 1, B)`` of importance weights (critic loss becomes
+    ``mean(td * iw)``) and emits one extra output ``td (C, 1, B)`` of
+    per-sample TD errors for the caller's post-chunk priority fold.  The
+    caller pre-samples all C minibatches against the tree state at chunk
+    START — priorities lag by up to C-1 updates inside a chunk (the scan
+    path re-samples after every tree update); see
+    agents/ddpg_td3.py:_fused_update for the measured-learning evidence
+    that the lag is benign at chunk=16.
     """
     C, B = int(chunk_updates), int(batch_size)
     S, A, E = int(state_dim), int(action_dim), int(num_ensembles)
@@ -621,12 +633,19 @@ def make_ddpg_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
         return jnp.dot(l[4], h, preferred_element_type=jnp.float32) + l[5]
 
     def kernel(*refs):
-        (sb_ref, nsb_ref, ab_ref, rb_ref, ud_ref, um_ref, nz_ref,
-         bcv_ref) = refs[:8]
-        groups = [refs[8 + i * n_l:8 + (i + 1) * n_l] for i in range(8)]
-        out = refs[8 + 8 * n_l:]
+        if per:   # iw rides between nz and the SMEM bcv table
+            (sb_ref, nsb_ref, ab_ref, rb_ref, ud_ref, um_ref, nz_ref,
+             iw_ref, bcv_ref) = refs[:9]
+        else:
+            (sb_ref, nsb_ref, ab_ref, rb_ref, ud_ref, um_ref, nz_ref,
+             bcv_ref) = refs[:8]
+            iw_ref = None
+        n_in = 8 + (1 if per else 0)
+        groups = [refs[n_in + i * n_l:n_in + (i + 1) * n_l] for i in range(8)]
+        out = refs[n_in + 8 * n_l:]
         out_groups = [out[i * n_l:(i + 1) * n_l] for i in range(8)]
         objs_ref = out[8 * n_l]
+        td_ref = out[8 * n_l + 1] if per else None
 
         init = tuple(tuple(r[:] for r in g) for g in groups)
 
@@ -639,6 +658,7 @@ def make_ddpg_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
             ud = ud_ref[pl.ds(u, 1)].reshape(1, B)
             um = um_ref[pl.ds(u, 1)].reshape(1, B)
             nz = nz_ref[pl.ds(u, 1)].reshape(A, B)
+            iw = iw_ref[pl.ds(u, 1)].reshape(1, B) if per else None
             bc1c, bc2c = bcv_ref[u, 0], bcv_ref[u, 1]
             bc1a, bc2a = bcv_ref[u, 2], bcv_ref[u, 3]
             valid, do_act = bcv_ref[u, 4], bcv_ref[u, 5]
@@ -661,9 +681,14 @@ def make_ddpg_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
                 else:
                     q = jnp.mean(qs, axis=0, keepdims=True) * um
                     td = jnp.square(q - q_label) * um
-                return jnp.mean(td)
+                if per:   # IS-weighted loss (agents/ddpg_td3.py:145)
+                    return jnp.mean(td * iw), td
+                return jnp.mean(td), td
 
-            obj_c, g_cri = jax.value_and_grad(cri_loss)(pc)
+            (obj_c, td), g_cri = jax.value_and_grad(
+                cri_loss, has_aux=True)(pc)
+            if per:
+                td_ref[pl.ds(u, 1)] = td.reshape(1, 1, B)
             pc2, muc2, nuc2 = adam_step(pc, muc, nuc, g_cri, bc1c, bc2c)
             tc2 = [t_ * (1.0 - tau) + p_ * tau for t_, p_ in zip(tc, pc2)]
 
@@ -697,23 +722,30 @@ def make_ddpg_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
                 r_[:] = v
 
     def chunk(pa, pc, ta, tc, mua, muc, nua, nuc,
-              sb, nsb, ab, rb, ud, um, nz, bcv):
+              sb, nsb, ab, rb, ud, um, nz, bcv, iw=None):
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-        in_specs = ([vmem()] * 7
+        n_in = 7 + (1 if per else 0)
+        n_out = 8 * n_l + 1 + (1 if per else 0)
+        in_specs = ([vmem()] * n_in
                     + [pl.BlockSpec(memory_space=pltpu.SMEM)]
                     + [vmem()] * (8 * n_l))
-        out_specs = tuple([vmem()] * (8 * n_l + 1))
+        out_specs = tuple([vmem()] * n_out)
         shapes = ([jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in pa]
                   + [jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in pc])
         out_shape = tuple(shapes * 4
-                          + [jax.ShapeDtypeStruct((C, 2), jnp.float32)])
+                          + [jax.ShapeDtypeStruct((C, 2), jnp.float32)]
+                          + ([jax.ShapeDtypeStruct((C, 1, B), jnp.float32)]
+                             if per else []))
+        data = ((sb, nsb, ab, rb, ud, um, nz, iw, bcv) if per
+                else (sb, nsb, ab, rb, ud, um, nz, bcv))
         outs = pl.pallas_call(
             kernel, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape,
             interpret=pltpu.InterpretParams() if interpret else False,
-        )(sb, nsb, ab, rb, ud, um, nz, bcv,
-          *pa, *pc, *ta, *tc, *mua, *muc, *nua, *nuc)
+        )(*data, *pa, *pc, *ta, *tc, *mua, *muc, *nua, *nuc)
         g = [tuple(outs[i * n_l:(i + 1) * n_l]) for i in range(8)]
+        if per:
+            return (*g, outs[8 * n_l], outs[8 * n_l + 1])
         return (*g, outs[8 * n_l])
 
     return chunk

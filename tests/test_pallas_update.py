@@ -374,3 +374,110 @@ def test_sac_fused_update_parity(modsac):
     for k_ in ('obj_critic', 'obj_actor'):
         np.testing.assert_allclose(float(m_fus[k_]), float(m_ref[k_]),
                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("td3", [False, True])
+def test_ddpg_td3_per_fused_single_update_parity(td3):
+    """PER variant of the fused chunk (VERDICT r4 #5): with update_times=1
+    the fused path's chunk-start pre-sampling coincides with the scan
+    path's per-update sampling, so params, IS-weighted objectives AND the
+    post-update priority tree must match exactly."""
+    from elegantrl_tpu.agents.ddpg_td3 import _make
+    from elegantrl_tpu.train.replay_buffer import ReplayBuffer
+
+    S, A, NS, H = 3, 2, 8, 40
+
+    def mk(mode):
+        args = Config()
+        args.batch_size = 128
+        args.repeat_times = 3.2           # 40 * 3.2 / 128 = 1 update
+        args.use_pallas_update = mode
+        args.buffer_init_size = 16
+        args.if_use_per = True
+        buffer = ReplayBuffer(max_size=256, state_dim=S, action_dim=A,
+                              num_seqs=NS, if_use_per=True, args=args)
+        return _make((16, 16), S, A, args, buffer, td3=td3), buffer
+
+    agent_ref, buf_ref = mk(False)
+    agent_fused, buf_fus = mk('interpret')
+    s = agent_ref.init(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(5)
+    ks, ka, kr = jax.random.split(k, 3)
+    items = (jax.random.normal(ks, (H, NS, S)),
+             jax.random.uniform(ka, (H, NS, A), minval=-1, maxval=1),
+             jax.random.normal(kr, (H, NS)),
+             jnp.ones((H, NS)), jnp.ones((H, NS)))
+
+    def fill(b):
+        st = b.update(b.init(), items)
+        # break the uniform-priority degeneracy so PER sampling is
+        # non-trivial in both paths
+        ids0 = jnp.arange(H, dtype=jnp.int32)
+        prob = 0.5 + jnp.arange(H * NS, dtype=jnp.float32).reshape(
+            H, NS) % 7.0
+        return st._replace(per_tree=b.tree.update(st.per_tree, ids0, prob))
+
+    k_upd = jax.random.PRNGKey(11)
+    s_ref, b_ref, m_ref = jax.jit(agent_ref.update)(s, fill(buf_ref), k_upd)
+    s_fus, b_fus, m_fus = jax.jit(agent_fused.update)(s, fill(buf_fus),
+                                                      k_upd)
+
+    for a, b in zip(
+            jax.tree.leaves((s_ref.act, s_ref.cri, s_ref.act_target,
+                             s_ref.cri_target)),
+            jax.tree.leaves((s_fus.act, s_fus.cri, s_fus.act_target,
+                             s_fus.cri_target))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=1e-7)
+    # the priority tree must carry the SAME post-update priorities
+    for a, b in zip(jax.tree.leaves(b_ref.per_tree),
+                    jax.tree.leaves(b_fus.per_tree)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(m_fus['obj_critic']),
+                               float(m_ref['obj_critic']),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_td3_per_fused_multi_chunk_runs():
+    """Across chunk boundaries the fused PER path pre-samples each chunk
+    against the chunk-start tree (documented <=C-1-update priority lag), so
+    exact scan parity no longer holds; assert the mechanics instead: Adam
+    counts advance per update, every touched priority equals
+    clip(td,1e-8,10)^alpha (i.e. leaves left the insert-time prob=10
+    plateau), and params stay finite."""
+    from elegantrl_tpu.agents.ddpg_td3 import _make
+    from elegantrl_tpu.train.replay_buffer import ReplayBuffer
+
+    S, A, NS, H = 3, 2, 8, 40
+    args = Config()
+    args.batch_size = 128
+    args.repeat_times = 64.0              # 20 updates -> 2 chunks
+    args.use_pallas_update = 'interpret'
+    args.buffer_init_size = 16
+    args.if_use_per = True
+    buffer = ReplayBuffer(max_size=256, state_dim=S, action_dim=A,
+                          num_seqs=NS, if_use_per=True, args=args)
+    agent = _make((16, 16), S, A, args, buffer, td3=True)
+    s = agent.init(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(5)
+    ks, ka, kr = jax.random.split(k, 3)
+    items = (jax.random.normal(ks, (H, NS, S)),
+             jax.random.uniform(ka, (H, NS, A), minval=-1, maxval=1),
+             jax.random.normal(kr, (H, NS)),
+             jnp.ones((H, NS)), jnp.ones((H, NS)))
+    buf0 = buffer.update(buffer.init(), items)
+    s2, b2, m = jax.jit(agent.update)(s, buf0, jax.random.PRNGKey(11))
+
+    c_cri, _, _ = _adam_parts(s2.cri_opt)
+    c_act, _, _ = _adam_parts(s2.act_opt)
+    assert int(c_cri) == 20 and int(c_act) == 10
+    leaves0 = np.asarray(buffer.tree.leaves(buf0.per_tree))
+    leaves2 = np.asarray(buffer.tree.leaves(b2.per_tree))
+    touched = leaves2 != leaves0
+    assert touched.sum() > 0
+    assert np.all(leaves2[touched] <= 10.0 ** buffer.per_alpha + 1e-6)
+    assert np.isfinite(leaves2).all()
+    for leaf in jax.tree.leaves((s2.act, s2.cri)):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert np.isfinite(float(m['obj_critic']))
