@@ -57,6 +57,23 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
     batch_size = int(getattr(args, 'batch_size', 64))
     repeat_times = float(getattr(args, 'repeat_times', 1.0))
     if_use_per = bool(getattr(args, 'if_use_per', False))
+    # Row-stratified replay sampling (replay_buffer.py:sample_rows): the
+    # TPU default — per-sample iid gathers are the measured off-policy
+    # bottleneck (SOL_BREAKDOWN.json r5).  'auto' enables it whenever the
+    # batch tiles the env axis; PER keeps its per-seq stratified draw.
+    row_mode = getattr(args, 'replay_row_sample', 'auto')
+    row_sample = (row_mode not in (False, 'false', '0')
+                  and not if_use_per and buffer is not None
+                  and int(getattr(args, 'batch_size', 64))
+                  % buffer.num_seqs == 0
+                  and int(getattr(args, 'batch_size', 64))
+                  >= buffer.num_seqs)
+    if row_mode is True and not row_sample:
+        raise ValueError(
+            'replay_row_sample=True needs uniform sampling (no PER) and '
+            'batch_size a positive multiple of num_envs '
+            f'(got batch_size={getattr(args, "batch_size", 64)}, '
+            f'num_envs={getattr(buffer, "num_seqs", None)})')
     lambda_fit_cum_r = float(getattr(args, 'lambda_fit_cum_r', 0.0))
     buffer_init_size = int(getattr(args, 'buffer_init_size', batch_size * 8))
     explore_noise_std = float(getattr(args, 'explore_noise_std',
@@ -121,8 +138,9 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
             (state, action, reward, undone, unmask, next_state, is_weight,
              is_ids) = buffer.sample_for_per(buf_state, k_sample, batch_size)
         else:
+            sample_fn = buffer.sample_rows if row_sample else buffer.sample
             (state, action, reward, undone, unmask, next_state,
-             is_ids) = buffer.sample(buf_state, k_sample, batch_size)
+             is_ids) = sample_fn(buf_state, k_sample, batch_size)
             is_weight = None
 
         if td3:
@@ -310,19 +328,39 @@ def _make(net_dims, state_dim: int, action_dim: int, args, buffer,
                     ids0 = ids0ns.reshape(C, -1)            # seq-major (C, B)
                     ids1 = ids1ns.reshape(C, -1)
                     iw = w.reshape(C, 1, batch_size)
+                elif row_sample:
+                    # contiguous row slabs instead of a scattered gather
+                    # (replay_buffer.py:sample_rows — same keys, same rows
+                    # as the scan path by construction)
+                    R = batch_size // N
+                    rows = jax.vmap(lambda k: jax.random.randint(
+                        k, (R,), 0, sample_len))(kk[:, 0])   # (C, R)
+                    iw = None
                 else:
                     ids = jax.vmap(lambda k: jax.random.randint(
                         k, (batch_size,), 0, sample_len * N))(kk[:, 0])
                     ids0 = ids % sample_len
                     ids1 = ids // sample_len
                     iw = None
-                flat = ids0 * N + ids1
-                sb = jnp.take(states2d, flat, axis=0)       # (C, B, S)
-                nsb = jnp.take(states2d, flat + N, axis=0)
-                ab = jnp.take(acts2d, flat, axis=0)         # (C, B, A)
-                rb = jnp.take(rew1d, flat)[:, None, :]
-                ud = jnp.take(ud1d, flat)[:, None, :]
-                um = jnp.take(um1d, flat)[:, None, :]
+                if row_sample:
+                    flat_rows = rows.reshape(-1)
+                    takes = lambda arr, r_: jnp.take(
+                        arr, r_, axis=0).reshape(
+                            (C, batch_size) + arr.shape[2:])
+                    sb = takes(buf_state.states, flat_rows)   # (C, B, S)
+                    nsb = takes(buf_state.states, flat_rows + 1)
+                    ab = takes(buf_state.actions, flat_rows)  # (C, B, A)
+                    rb = takes(buf_state.rewards, flat_rows)[:, None, :]
+                    ud = takes(buf_state.undones, flat_rows)[:, None, :]
+                    um = takes(buf_state.unmasks, flat_rows)[:, None, :]
+                else:
+                    flat = ids0 * N + ids1
+                    sb = jnp.take(states2d, flat, axis=0)    # (C, B, S)
+                    nsb = jnp.take(states2d, flat + N, axis=0)
+                    ab = jnp.take(acts2d, flat, axis=0)      # (C, B, A)
+                    rb = jnp.take(rew1d, flat)[:, None, :]
+                    ud = jnp.take(ud1d, flat)[:, None, :]
+                    um = jnp.take(um1d, flat)[:, None, :]
                 if td3:   # actor_noisy's exact draw: std * normal((B, A))
                     nz = policy_noise_std * jax.vmap(
                         lambda k: jax.random.normal(

@@ -45,6 +45,20 @@ def make_dqn(net_dims, state_dim: int, action_dim: int, args,
     batch_size = int(getattr(args, 'batch_size', 64))
     repeat_times = float(getattr(args, 'repeat_times', 1.0))
     if_use_per = bool(getattr(args, 'if_use_per', False))
+    # row-stratified replay sampling — see replay_buffer.py:sample_rows and
+    # agents/ddpg_td3.py for the measured rationale (per-sample gathers are
+    # the off-policy device-time bottleneck, SOL_BREAKDOWN.json r5)
+    row_mode = getattr(args, 'replay_row_sample', 'auto')
+    row_sample = (row_mode not in (False, 'false', '0')
+                  and not if_use_per and buffer is not None
+                  and batch_size % buffer.num_seqs == 0
+                  and batch_size >= buffer.num_seqs)
+    if row_mode is True and not row_sample:
+        raise ValueError(
+            'replay_row_sample=True needs uniform sampling (no PER) and '
+            'batch_size a positive multiple of num_envs '
+            f'(got batch_size={batch_size}, '
+            f'num_envs={getattr(buffer, "num_seqs", None)})')
     lambda_fit_cum_r = float(getattr(args, 'lambda_fit_cum_r', 0.0))
     gamma_ = gamma
     net_dims = tuple(net_dims)
@@ -115,8 +129,9 @@ def make_dqn(net_dims, state_dim: int, action_dim: int, args,
             (state, action, reward, undone, unmask, next_state, is_weight,
              is_ids) = buffer.sample_for_per(buf_state, key, batch_size)
         else:
+            sample_fn = buffer.sample_rows if row_sample else buffer.sample
             (state, action, reward, undone, unmask, next_state,
-             is_ids) = buffer.sample(buf_state, key, batch_size)
+             is_ids) = sample_fn(buf_state, key, batch_size)
             is_weight = None
 
         if twin:
@@ -235,18 +250,33 @@ def make_dqn(net_dims, state_dim: int, action_dim: int, args,
                 # the scan path's exact ids: fold_in per update index, then
                 # one uniform randint draw (replay_buffer.py:sample)
                 keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
-                ids = jax.vmap(lambda k: jax.random.randint(
-                    k, (batch_size,), 0, sample_len * N))(keys)
-                ids0 = ids % sample_len
-                ids1 = ids // sample_len
-                flat = ids0 * N + ids1                        # (C, B)
-                sb = jnp.take(states2d, flat, axis=0)         # (C, B, S)
-                nsb = jnp.take(states2d, flat + N, axis=0)    # ids0+1 seam
-                oh = jax.nn.one_hot(jnp.take(acts1d, flat), action_dim,
+                if row_sample:   # contiguous row slabs (sample_rows keys)
+                    R = batch_size // N
+                    rows = jax.vmap(lambda k: jax.random.randint(
+                        k, (R,), 0, sample_len))(keys).reshape(-1)
+                    takes = lambda arr, r_: jnp.take(
+                        arr, r_, axis=0).reshape(
+                            (C, batch_size) + arr.shape[2:])
+                    sb = takes(buf_state.states, rows)        # (C, B, S)
+                    nsb = takes(buf_state.states, rows + 1)
+                    acts = takes(buf_state.actions, rows)     # (C, B)
+                    rb = takes(buf_state.rewards, rows)[:, None, :]
+                    ud = takes(buf_state.undones, rows)[:, None, :]
+                    um = takes(buf_state.unmasks, rows)[:, None, :]
+                else:
+                    ids = jax.vmap(lambda k: jax.random.randint(
+                        k, (batch_size,), 0, sample_len * N))(keys)
+                    ids0 = ids % sample_len
+                    ids1 = ids // sample_len
+                    flat = ids0 * N + ids1                    # (C, B)
+                    sb = jnp.take(states2d, flat, axis=0)     # (C, B, S)
+                    nsb = jnp.take(states2d, flat + N, axis=0)  # +1 seam
+                    acts = jnp.take(acts1d, flat)
+                    rb = jnp.take(rew1d, flat)[:, None, :]
+                    ud = jnp.take(ud1d, flat)[:, None, :]
+                    um = jnp.take(um1d, flat)[:, None, :]
+                oh = jax.nn.one_hot(acts, action_dim,
                                     axis=1, dtype=jnp.float32)  # (C, A, B)
-                rb = jnp.take(rew1d, flat)[:, None, :]
-                ud = jnp.take(ud1d, flat)[:, None, :]
-                um = jnp.take(um1d, flat)[:, None, :]
                 steps = (count0.astype(jnp.float32)
                          + idx.astype(jnp.float32) + 1.0)
                 valid = (idx < update_times).astype(jnp.float32)

@@ -96,8 +96,16 @@ def make_embed_dqn(net_dims, state_dim: int, action_dim: int, args,
             (state, action, reward, undone, unmask, next_state, is_weight,
              is_ids) = buffer.sample_for_per(buf_state, key, batch_size)
         else:
+            # row-stratified when the batch tiles the env axis (see
+            # replay_buffer.py:sample_rows — gathers are the measured
+            # off-policy bottleneck, SOL_BREAKDOWN.json r5)
+            row_ok = (getattr(args, 'replay_row_sample', 'auto')
+                      not in (False, 'false', '0')
+                      and batch_size % buffer.num_seqs == 0
+                      and batch_size >= buffer.num_seqs)
             (state, action, reward, undone, unmask, next_state,
-             is_ids) = buffer.sample(buf_state, key, batch_size)
+             is_ids) = (buffer.sample_rows if row_ok
+                        else buffer.sample)(buf_state, key, batch_size)
             is_weight = None
 
         next_q = jnp.max(mean_q(s.q_target, next_state), axis=-1)

@@ -67,6 +67,21 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
     batch_size = int(getattr(args, 'batch_size', 64))
     repeat_times = float(getattr(args, 'repeat_times', 1.0))
     if_use_per = bool(getattr(args, 'if_use_per', False))
+    # row-stratified replay sampling — see replay_buffer.py:sample_rows and
+    # agents/ddpg_td3.py for the measured rationale (per-sample gathers are
+    # the off-policy device-time bottleneck, SOL_BREAKDOWN.json r5)
+    row_mode = getattr(args, 'replay_row_sample', 'auto')
+    batch_size_ = int(getattr(args, 'batch_size', 64))
+    row_sample = (row_mode not in (False, 'false', '0')
+                  and not if_use_per and buffer is not None
+                  and batch_size_ % buffer.num_seqs == 0
+                  and batch_size_ >= buffer.num_seqs)
+    if row_mode is True and not row_sample:
+        raise ValueError(
+            'replay_row_sample=True needs uniform sampling (no PER) and '
+            'batch_size a positive multiple of num_envs '
+            f'(got batch_size={batch_size_}, '
+            f'num_envs={getattr(buffer, "num_seqs", None)})')
     lambda_fit_cum_r = float(getattr(args, 'lambda_fit_cum_r', 0.0))
     num_ensembles = int(getattr(args, 'num_ensembles', 8 if modsac else 4))
     if modsac:
@@ -169,7 +184,8 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
              is_ids) = buffer.sample_for_per(buf_state, k_sample, batch_size)
         else:
             (state, action, reward, undone, unmask, next_state,
-             is_ids) = buffer.sample(buf_state, k_sample, batch_size)
+             is_ids) = (buffer.sample_rows if row_sample
+                        else buffer.sample)(buf_state, k_sample, batch_size)
             is_weight = None
 
         next_action, next_logprob = get_action_logprob(s.act, next_state, k_next)
@@ -281,16 +297,30 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
         interpret = (mode == 'interpret')
         f32_storage = getattr(buffer, 'storage_dtype', jnp.float32) in (
             jnp.float32, 'float32')
+        # SAC's per-ensemble head autodiff keeps far more live VMEM than
+        # the single-net kernels: measured OOM at (128,128)x1024 (+5.2M)
+        # and (256,256)x256 (+1.9M); (64,64)x256 fits comfortably.  Round 5
+        # adds the PPO kernel's lane-chunk loop (pallas_update.py
+        # lane_chunk): the batch is processed in the largest 128-multiple
+        # chunk with max(net_dims) * chunk <= 32768, so wide batches ride
+        # the kernel instead of falling back to the 15-sequential-cond scan
+        # path (the sac_hopper shape measured 2.25 ms/round there,
+        # SOL_BREAKDOWN.json r5).
+        lane_chunk = None
+        for lc in (2048, 1024, 512, 256, 128):
+            if (lc <= batch_size and batch_size % lc == 0
+                    and max(net_dims) * lc <= 32768):
+                lane_chunk = lc
+                break
+        forced_lc = getattr(args, 'sac_lane_chunk', None)
+        if forced_lc:   # tuning/test override
+            lane_chunk = int(forced_lc)
         eligible = (not hterm and not if_use_per
                     and lambda_fit_cum_r == 0.0
                     and len(net_dims) == 2
                     and batch_size % 128 == 0 and batch_size <= 2048
-                    # SAC's per-ensemble head autodiff keeps far more
-                    # live VMEM than the single-net kernels: measured
-                    # OOM at (128,128)x1024 (+5.2M) and (256,256)x256
-                    # (+1.9M); (64,64)x256 fits comfortably
-                    and max(net_dims) * batch_size <= 32768
-                    and max(net_dims) <= 128
+                    and lane_chunk is not None
+                    and max(net_dims) <= 256
                     and f32_storage
                     # mesh DP shards the buffer; the un-shard_mapped
                     # kernel cannot ride XLA's auto-partitioner
@@ -321,7 +351,7 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
             state_dim, action_dim, batch_size, C, gamma=gamma, tau=tau,
             lr=lr, clip_grad=clip_grad, modsac=modsac,
             num_ensembles=num_ensembles, target_entropy=target_entropy,
-            std_clip=std_clip, interpret=interpret)
+            std_clip=std_clip, lane_chunk=lane_chunk, interpret=interpret)
         N = buffer.num_seqs
 
         def update(s: SACState, buf_state, key):
@@ -364,17 +394,31 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
                 # split(3) -> (sample, next-action noise, pg noise)
                 kk = jax.vmap(lambda i: jax.random.split(
                     jax.random.fold_in(key, i), 3))(idx)
-                ids = jax.vmap(lambda k: jax.random.randint(
-                    k, (batch_size,), 0, sample_len * N))(kk[:, 0])
-                ids0 = ids % sample_len
-                ids1 = ids // sample_len
-                flat = ids0 * N + ids1
-                sb = jnp.take(states2d, flat, axis=0)
-                nsb = jnp.take(states2d, flat + N, axis=0)
-                ab = jnp.take(acts2d, flat, axis=0)
-                rb = jnp.take(rew1d, flat)[:, None, :]
-                ud = jnp.take(ud1d, flat)[:, None, :]
-                um = jnp.take(um1d, flat)[:, None, :]
+                if row_sample:   # contiguous row slabs (sample_rows keys)
+                    R = batch_size // N
+                    rows = jax.vmap(lambda k: jax.random.randint(
+                        k, (R,), 0, sample_len))(kk[:, 0]).reshape(-1)
+                    takes = lambda arr, r_: jnp.take(
+                        arr, r_, axis=0).reshape(
+                            (C, batch_size) + arr.shape[2:])
+                    sb = takes(buf_state.states, rows)
+                    nsb = takes(buf_state.states, rows + 1)
+                    ab = takes(buf_state.actions, rows)
+                    rb = takes(buf_state.rewards, rows)[:, None, :]
+                    ud = takes(buf_state.undones, rows)[:, None, :]
+                    um = takes(buf_state.unmasks, rows)[:, None, :]
+                else:
+                    ids = jax.vmap(lambda k: jax.random.randint(
+                        k, (batch_size,), 0, sample_len * N))(kk[:, 0])
+                    ids0 = ids % sample_len
+                    ids1 = ids // sample_len
+                    flat = ids0 * N + ids1
+                    sb = jnp.take(states2d, flat, axis=0)
+                    nsb = jnp.take(states2d, flat + N, axis=0)
+                    ab = jnp.take(acts2d, flat, axis=0)
+                    rb = jnp.take(rew1d, flat)[:, None, :]
+                    ud = jnp.take(ud1d, flat)[:, None, :]
+                    um = jnp.take(um1d, flat)[:, None, :]
                 draw = lambda k: jax.random.normal(
                     k, (batch_size, action_dim))
                 nzn = jax.vmap(draw)(kk[:, 1]).transpose(0, 2, 1)

@@ -795,7 +795,8 @@ def make_sac_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
                          lr: float, clip_grad: float, modsac: bool,
                          num_ensembles: int, target_entropy: float,
                          std_clip: tuple, b1: float = 0.9, b2: float = 0.999,
-                         eps: float = 1e-8, interpret: bool = False):
+                         eps: float = 1e-8, lane_chunk: int = 0,
+                         interpret: bool = False):
     """Fused SAC/ModSAC SGD chunk (agents/sac.py:objectives; reference
     AgentSAC.py:40-100/149-158): per step — entropy-regularized TD target
     from the target critic with a fresh tanh-Gaussian next-action draw,
@@ -817,10 +818,22 @@ def make_sac_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
     misc, sb, nsb, ab, rb, ud, um, nz_next, nz_pg, bcv)``; ``misc`` is the
     5-leaf (1,1) group [alpha_log, alpha_mu, alpha_nu, act_count,
     update_a]; ``ta`` is empty for plain SAC (no actor target).
+
+    ``lane_chunk`` (round 5): SAC's per-ensemble head autodiff keeps far
+    more live VMEM than the single-net chunks — the unchunked kernel OOMs
+    at (128,128)x1024 (+5.2M over the 16M scoped-VMEM stack).  Same fix as
+    the PPO kernel's LC loop: split the batch into equal lane chunks and
+    average per-chunk grads/objectives — exact for all three mean-reduced
+    losses (critic TD, alpha's ``mean(te - logprob)``, the actor's
+    ``mean(q) - alpha*mean(logprob)``), f32 reassociation aside.  0 means
+    no chunking (one chunk of B lanes).
     """
     import math as _math
     C, B = int(chunk_updates), int(batch_size)
     S, A, E = int(state_dim), int(action_dim), int(num_ensembles)
+    LC = int(lane_chunk) or B
+    assert B % LC == 0, (B, LC)
+    NLC = B // LC
     n_a = 8 if modsac else 6
     n_c = 2 + 4 * E
     n_t = n_a if modsac else 0
@@ -928,28 +941,46 @@ def make_sac_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
             bc1l, bc2l = bcv_ref[u, 2], bcv_ref[u, 3]
             valid, upd_t = bcv_ref[u, 4], bcv_ref[u, 5]
 
-            na, nlp = action_logprob(pa, nx, nzn)
-            nq = jnp.min(q_values(tc, nx, na), axis=0, keepdims=True)
             alpha = jnp.exp(alpha_log)                       # (1, 1)
-            q_label = r + ud * gamma * (nq - nlp * alpha)
 
-            def cri_loss(cl):
-                qs = q_values(cl, x, a)
-                td = jnp.mean(jnp.square(qs - q_label), axis=0,
-                              keepdims=True) * um
-                return jnp.mean(td)
+            # ---- critic: lane-chunked grad accumulation (exact for the
+            # mean-reduced TD loss; see lane_chunk docstring)
+            obj_c = 0.0
+            g_cri = None
+            lp_now_mean = 0.0
+            for ci in range(NLC):
+                sl = slice(ci * LC, (ci + 1) * LC)
+                na_c, nlp_c = action_logprob(pa, nx[:, sl], nzn[:, sl])
+                nq_c = jnp.min(q_values(tc, nx[:, sl], na_c), axis=0,
+                               keepdims=True)
+                q_label_c = (r[:, sl] + ud[:, sl] * gamma
+                             * (nq_c - nlp_c * alpha))
 
-            obj_c, g_cri = jax.value_and_grad(cri_loss)(pc)
+                def cri_loss(cl, _sl=sl, _ql=q_label_c):
+                    qs = q_values(cl, x[:, _sl], a[:, _sl])
+                    td = jnp.mean(jnp.square(qs - _ql), axis=0,
+                                  keepdims=True) * um[:, _sl]
+                    return jnp.mean(td)
+
+                oc, gc = jax.value_and_grad(cri_loss)(pc)
+                obj_c = obj_c + oc
+                g_cri = gc if g_cri is None else [
+                    p_ + q_ for p_, q_ in zip(g_cri, gc)]
+                # alpha's grad is mean(target_entropy - lp_now): only the
+                # per-chunk logprob means are needed
+                _, lp_c = action_logprob(pa, x[:, sl], nzp[:, sl])
+                lp_now_mean = lp_now_mean + jnp.mean(lp_c)
+            inv = 1.0 / NLC
+            obj_c = obj_c * inv
+            lp_now_mean = lp_now_mean * inv
+            if NLC > 1:
+                g_cri = [g * inv for g in g_cri]
             pc2, muc2, nuc2 = adam_step(pc, muc, nuc, g_cri, bc1c, bc2c)
             tc2 = [t_ * (1.0 - tau) + p_ * tau for t_, p_ in zip(tc, pc2)]
 
-            # alpha step: logprob at the CURRENT actor with the pg noise
-            _, lp_now = action_logprob(pa, x, nzp)
-
-            def alpha_loss(al_):
-                return jnp.mean(al_ * (target_entropy - lp_now))
-
-            g_al = jax.grad(alpha_loss)(alpha_log)
+            # alpha step (loss = mean(alpha_log * (te - lp_now)))
+            g_al = jnp.broadcast_to(target_entropy - lp_now_mean,
+                                    alpha_log.shape)
             gn = jnp.sqrt(jnp.sum(jnp.square(g_al)))
             g_al = g_al * jnp.where(gn < clip_grad, 1.0, clip_grad / gn)
             a_mu2 = b1 * a_mu + (1.0 - b1) * g_al
@@ -968,12 +999,23 @@ def make_sac_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
                 do_act = jnp.ones_like(upd_a)
                 upd_a2 = upd_a
 
-            def act_loss(al):
-                a_pg, lp = action_logprob(al, x, nzp)
-                q_pg = jnp.mean(q_values(tc2, x, a_pg))      # FRESH target
-                return -(q_pg - jnp.mean(lp * alpha2))
+            obj_neg = 0.0
+            g_act = None
+            for ci in range(NLC):
+                sl = slice(ci * LC, (ci + 1) * LC)
 
-            obj_neg, g_act = jax.value_and_grad(act_loss)(pa)
+                def act_loss(al, _sl=sl):
+                    a_pg, lp = action_logprob(al, x[:, _sl], nzp[:, _sl])
+                    q_pg = jnp.mean(q_values(tc2, x[:, _sl], a_pg))  # FRESH
+                    return -(q_pg - jnp.mean(lp * alpha2))
+
+                on, ga = jax.value_and_grad(act_loss)(pa)
+                obj_neg = obj_neg + on
+                g_act = ga if g_act is None else [
+                    p_ + q_ for p_, q_ in zip(g_act, ga)]
+            obj_neg = obj_neg * inv
+            if NLC > 1:
+                g_act = [g * inv for g in g_act]
             cnt_a2 = cnt_a + 1.0
             bc1a = 1.0 - jnp.exp(cnt_a2 * _math.log(b1))
             bc2a = 1.0 - jnp.exp(cnt_a2 * _math.log(b2))

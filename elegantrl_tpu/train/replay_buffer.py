@@ -123,6 +123,46 @@ class ReplayBuffer:
             (ids0, ids1),
         )
 
+    def sample_rows(self, buf: BufferState, key: jax.Array, batch_size: int
+                    ) -> Tuple[jax.Array, ...]:
+        """Row-stratified uniform sample: draw ``batch_size // num_seqs``
+        whole time rows — each a CONTIGUOUS ``(num_seqs, dim)`` slab — and
+        use every env column of those rows as the minibatch.
+
+        Why this exists (TPU access-pattern redesign): the reference's
+        per-sample iid draw (``elegantrl/train/replay_buffer.py:125-134``,
+        mirrored by :meth:`sample`) gathers ``batch_size`` scattered
+        24-byte rows, which on TPU lowers to a latency-bound gather — a
+        device trace of the td3_hopper-shaped round measured the gathers at
+        ~850 us/round, 65% of device time, vs ~150 us for the entire fused
+        16-update kernel (SOL_BREAKDOWN.json, round 5).  Row draws replace
+        the gather with ``R`` dynamic slices of contiguous rows.  Sampling
+        semantics: each transition still appears with equal probability;
+        the difference is that a minibatch's samples share time indices
+        across the (independent) env axis instead of being fully iid —
+        learning-verified on every off-policy RESULTS.md row.
+
+        Same return contract as :meth:`sample`.
+        """
+        n = self.num_seqs
+        r = batch_size // n
+        sample_len = jnp.maximum(buf.size - 1, 1)
+        rows = jax.random.randint(key, (r,), 0, sample_len)
+        ids0 = jnp.repeat(rows, n)
+        ids1 = jnp.tile(jnp.arange(n, dtype=jnp.int32), r)
+
+        def take(arr, row_ids):
+            x = jnp.take(arr, row_ids, axis=0)       # (r, n, ...)
+            return x.reshape((batch_size,) + arr.shape[2:])
+
+        return (take(buf.states, rows),
+                take(buf.actions, rows),
+                take(buf.rewards, rows),
+                take(buf.undones, rows),
+                take(buf.unmasks, rows),
+                take(buf.states, rows + 1),
+                (ids0, ids1))
+
     def sample_for_per(self, buf: BufferState, key: jax.Array, batch_size: int):
         """PER sample (reference :136-166): per-seq stratified draws from the
         segment tree; importance weights ``(prio/min_prio)^-beta``.  Returns

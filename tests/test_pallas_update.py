@@ -481,3 +481,55 @@ def test_td3_per_fused_multi_chunk_runs():
     for leaf in jax.tree.leaves((s2.act, s2.cri)):
         assert np.isfinite(np.asarray(leaf)).all()
     assert np.isfinite(float(m['obj_critic']))
+
+
+@pytest.mark.parametrize("modsac", [False, True])
+def test_sac_fused_lane_chunk_parity(modsac):
+    """The lane-chunked SAC kernel (round 5: batch split into equal lane
+    chunks with per-chunk grad accumulation, the wide-batch VMEM fix) must
+    match the unchunked kernel to f32-reassociation tolerance."""
+    from elegantrl_tpu.agents.sac import make_sac
+    from elegantrl_tpu.train.replay_buffer import ReplayBuffer
+
+    S, A, NS, H = 3, 2, 8, 40
+
+    def mk(lane):
+        args = Config()
+        args.batch_size = 256
+        args.repeat_times = 64.0          # 10 updates
+        args.use_pallas_update = 'interpret'
+        if lane:
+            args.sac_lane_chunk = lane
+        buffer = ReplayBuffer(max_size=256, state_dim=S, action_dim=A,
+                              num_seqs=NS, args=args)
+        return make_sac((16, 16), S, A, args, buffer, modsac=modsac)
+
+    agent_full = mk(None)                 # lane_chunk = 256 = B (NLC=1)
+    agent_lc = mk(64)                     # NLC=4
+    s = agent_full.init(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(5)
+    ks, ka, kr = jax.random.split(k, 3)
+    items = (jax.random.normal(ks, (H, NS, S)),
+             jax.random.uniform(ka, (H, NS, A), minval=-1, maxval=1),
+             jax.random.normal(kr, (H, NS)),
+             jnp.ones((H, NS)), jnp.ones((H, NS)))
+    args0 = Config(); args0.batch_size = 256
+
+    def fill():
+        b = ReplayBuffer(max_size=256, state_dim=S, action_dim=A,
+                         num_seqs=NS, args=args0)
+        return b.update(b.init(), items)
+
+    k_upd = jax.random.PRNGKey(11)
+    s_a, _, m_a = jax.jit(agent_full.update)(s, fill(), k_upd)
+    s_b, _, m_b = jax.jit(agent_lc.update)(s, fill(), k_upd)
+
+    np.testing.assert_allclose(float(s_b.alpha_log), float(s_a.alpha_log),
+                               rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves((s_a.act, s_a.cri, s_a.cri_target)),
+                    jax.tree.leaves((s_b.act, s_b.cri, s_b.cri_target))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=2e-6)
+    np.testing.assert_allclose(float(m_b['obj_critic']),
+                               float(m_a['obj_critic']), rtol=1e-3,
+                               atol=1e-5)

@@ -102,3 +102,40 @@ def test_per_sample_weights():
     buf = rb.td_error_update_for_per(
         buf, (ids0, ids1), jnp.full((8,), 9.0))
     assert float(buf.per_tree[0].sum()) > 0
+
+
+def test_sample_rows_contract():
+    """sample_rows returns whole env rows: ids0 repeats each drawn row
+    num_seqs times, ids1 tiles the env axis, and every leaf equals the
+    direct (ids0, ids1) index — same contract as sample()."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from elegantrl_tpu.train.replay_buffer import ReplayBuffer
+
+    S, A, NS, H = 3, 2, 4, 20
+    b = ReplayBuffer(max_size=32, state_dim=S, action_dim=A, num_seqs=NS)
+    k = jax.random.PRNGKey(0)
+    ks, ka, kr = jax.random.split(k, 3)
+    items = (jax.random.normal(ks, (H, NS, S)),
+             jax.random.normal(ka, (H, NS, A)),
+             jax.random.normal(kr, (H, NS)),
+             jnp.ones((H, NS)), jnp.ones((H, NS)))
+    buf = b.update(b.init(), items)
+    B = 12   # 3 rows x 4 seqs
+    st, ac, rw, ud, um, nst, (ids0, ids1) = b.sample_rows(
+        buf, jax.random.PRNGKey(7), B)
+    assert st.shape == (B, S) and ac.shape == (B, A) and rw.shape == (B,)
+    i0, i1 = np.asarray(ids0), np.asarray(ids1)
+    assert (i0.reshape(3, NS) == i0.reshape(3, NS)[:, :1]).all()
+    assert (i1.reshape(3, NS) == np.arange(NS)).all()
+    assert (i0 < int(buf.size) - 1).all()
+    np.testing.assert_allclose(np.asarray(st),
+                               np.asarray(buf.states[i0, i1]))
+    np.testing.assert_allclose(np.asarray(nst),
+                               np.asarray(buf.states[i0 + 1, i1]))
+    np.testing.assert_allclose(np.asarray(ac),
+                               np.asarray(buf.actions[i0, i1]))
+    np.testing.assert_allclose(np.asarray(rw),
+                               np.asarray(buf.rewards[i0, i1]))
