@@ -288,7 +288,7 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
     # updates, plus SAC's in-kernel dynamic state: the learned alpha leaf,
     # the ModSAC reliability gate, and the gate-dependent actor Adam count.
     pallas_update_mode = getattr(args, 'use_pallas_update', 'auto')
-    _FUSED_CHUNK = 16
+    _FUSED_CHUNK = int(getattr(args, 'sac_fused_chunk', 16))
 
     def _fused_update():
         mode = pallas_update_mode
@@ -298,18 +298,17 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
         f32_storage = getattr(buffer, 'storage_dtype', jnp.float32) in (
             jnp.float32, 'float32')
         # SAC's per-ensemble head autodiff keeps far more live VMEM than
-        # the single-net kernels: measured OOM at (128,128)x1024 (+5.2M)
-        # and (256,256)x256 (+1.9M); (64,64)x256 fits comfortably.  Round 5
-        # adds the PPO kernel's lane-chunk loop (pallas_update.py
-        # lane_chunk): the batch is processed in the largest 128-multiple
-        # chunk with max(net_dims) * chunk <= 32768, so wide batches ride
-        # the kernel instead of falling back to the 15-sequential-cond scan
-        # path (the sac_hopper shape measured 2.25 ms/round there,
-        # SOL_BREAKDOWN.json r5).
+        # the single-net kernels (measured 16.3-21.2M stack at
+        # (128,128)x1024, E=8): the kernel raises its Mosaic scoped-vmem
+        # limit to 64M (pallas_update.py compiler_params) and lane-chunks
+        # the batch (the PPO kernel's LC loop) only beyond the measured
+        # envelope, so wide batches ride the kernel instead of falling back
+        # to the 15-sequential-cond scan path (2.77 ms/round busy there vs
+        # 1.02 ms on the kernel at the sac_hopper shape, SOL_BREAKDOWN r5).
         lane_chunk = None
         for lc in (2048, 1024, 512, 256, 128):
             if (lc <= batch_size and batch_size % lc == 0
-                    and max(net_dims) * lc <= 32768):
+                    and max(net_dims) * lc <= 131072):
                 lane_chunk = lc
                 break
         forced_lc = getattr(args, 'sac_lane_chunk', None)

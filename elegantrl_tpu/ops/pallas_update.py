@@ -313,6 +313,10 @@ def make_ppo_fused_update(state_dim: int, action_dim: int, batch_size: int,
         outs = pl.pallas_call(
             kernel,
             in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
+            # alias each param/moment input to its output: halves the
+            # kernel's fixed VMEM residency (in-place update, no second
+            # copy) and the param HBM round-trip
+            input_output_aliases={9 + i: i for i in range(3 * n_l)},
             interpret=pltpu.InterpretParams() if interpret else False,
         )(sb.reshape(U, S, B), ab.reshape(U, A, B), lpb.reshape(U, 1, B),
           advb.reshape(U, 1, B), rsb.reshape(U, 1, B), umb.reshape(U, 1, B),
@@ -556,6 +560,7 @@ def make_dqn_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
         outs = pl.pallas_call(
             kernel, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape,
+            input_output_aliases={7 + i: i for i in range(4 * n_l)},
             interpret=pltpu.InterpretParams() if interpret else False,
         )(sb, nsb, oh, rb, ud, um, bcv, *p, *t, *mu, *nu)
         return (tuple(outs[:n_l]), tuple(outs[n_l:2 * n_l]),
@@ -738,9 +743,11 @@ def make_ddpg_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
                              if per else []))
         data = ((sb, nsb, ab, rb, ud, um, nz, iw, bcv) if per
                 else (sb, nsb, ab, rb, ud, um, nz, bcv))
+        n_data = 9 if per else 8          # incl. the SMEM bcv table
         outs = pl.pallas_call(
             kernel, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape,
+            input_output_aliases={n_data + i: i for i in range(8 * n_l)},
             interpret=pltpu.InterpretParams() if interpret else False,
         )(*data, *pa, *pc, *ta, *tc, *mua, *muc, *nua, *nuc)
         g = [tuple(outs[i * n_l:(i + 1) * n_l]) for i in range(8)]
@@ -1068,6 +1075,12 @@ def make_sac_fused_chunk(state_dim: int, action_dim: int, batch_size: int,
         outs = pl.pallas_call(
             kernel, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape,
+            input_output_aliases={10 + i: i for i in range(n_groups)},
+            # the E-head ensemble autodiff's live set sits ~300K over the
+            # default 16M scoped-vmem stack at (128,128)xB>=1024; raise the
+            # kernel's limit (v5e VMEM is far larger than the 16M default)
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=pltpu.InterpretParams() if interpret else False,
         )(sb, nsb, ab, rb, ud, um, nzn, nzp, jnp.asarray(mask), bcv,
           *all_in)

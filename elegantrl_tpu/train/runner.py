@@ -226,6 +226,8 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
     print("| build_training: pallas fused-rollout fast path enabled "
           f"(env={spec.env_name}, block={block}, chunk={chunk}"
           f"{head_note}{shard_note})", flush=True)
+    from ..agents.base import resolve_compute_dtype
+    compute_dtype = resolve_compute_dtype(args, tuple(args.net_dims))
     if off_head is not None:
         from ..ops.pallas_rollout import (make_fused_offpolicy_rollout,
                                           make_sharded_offpolicy_rollout)
@@ -244,21 +246,24 @@ def _maybe_pallas_rollout(args, env: EnvDef, agent: AgentDef, num_envs: int,
                 body, tuple(args.net_dims), horizon_len, num_envs,
                 reward_scale, mesh, head=off_head, head_cfg=head_cfg,
                 store_dtype=store_dtype, block=block, chunk=chunk,
-                interpret=interpret)
+                interpret=interpret, compute_dtype=compute_dtype)
         return make_fused_offpolicy_rollout(
             body, tuple(args.net_dims), horizon_len, num_envs, reward_scale,
             head=off_head, head_cfg=head_cfg, store_dtype=store_dtype,
-            block=block, chunk=chunk, interpret=interpret)
+            block=block, chunk=chunk, interpret=interpret,
+            compute_dtype=compute_dtype)
     if mesh is not None:
         from ..ops.pallas_rollout import make_sharded_fused_rollout
         return make_sharded_fused_rollout(
             body, tuple(args.net_dims), horizon_len, num_envs, reward_scale,
             mesh, discrete=bool(spec.if_discrete), store_dtype=store_dtype,
-            block=block, chunk=chunk, interpret=interpret)
+            block=block, chunk=chunk, interpret=interpret,
+            compute_dtype=compute_dtype)
     return make_fused_rollout(
         body, tuple(args.net_dims), horizon_len, num_envs, reward_scale,
         discrete=bool(spec.if_discrete), store_dtype=store_dtype,
-        block=block, chunk=chunk, interpret=interpret)
+        block=block, chunk=chunk, interpret=interpret,
+        compute_dtype=compute_dtype)
 
 
 class TrainContext(NamedTuple):

@@ -55,8 +55,10 @@ def test_two_process_mesh_runs_ppo_and_sac_round():
 
     metrics = []
     for out in outs:
-        m = re.search(r"DISTOK proc=\d+ ppo_exp_r=(\S+) sac_obj_c=(\S+)", out)
+        m = re.search(r"DISTOK proc=\d+ ppo_exp_r=(\S+) sac_obj_c=(\S+) "
+                      r"pal_exp_r=(\S+)", out)
         assert m, out
-        metrics.append((m.group(1), m.group(2)))
+        metrics.append((m.group(1), m.group(2), m.group(3)))
     # bit-identical replicated metrics across processes == one SPMD program
+    # (incl. the shard_mapped fused-rollout kernel round, pal_exp_r)
     assert metrics[0] == metrics[1], metrics
