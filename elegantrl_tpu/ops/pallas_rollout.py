@@ -833,6 +833,11 @@ def make_fused_rollout(body: KernelEnvBody, net_dims, horizon_len: int,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((F, B), jnp.float32),
                         pltpu.VMEM((I, B), jnp.int32)],
+        # wide nets (e.g. 1024x1024 weights + (1024, B) activations) need
+        # more than Mosaic's default 16M scoped-vmem stack; the v5e has
+        # far more VMEM than the default reserves
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interpret else False,
     )
 
@@ -1250,6 +1255,11 @@ def make_fused_offpolicy_rollout(body: KernelEnvBody, net_dims,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((F, B), jnp.float32),
                         pltpu.VMEM((I, B), jnp.int32)],
+        # wide nets (e.g. 1024x1024 weights + (1024, B) activations) need
+        # more than Mosaic's default 16M scoped-vmem stack; the v5e has
+        # far more VMEM than the default reserves
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interpret else False,
     )
 

@@ -58,9 +58,11 @@ class VRPTWSimulator:
         until the window opens; slack = time left until the window closes,
         so urgent customers come first), with ``noise * U[0,1) * mean_dist``
         jitter for diversification; a sim returns to the depot when nothing
-        is feasible.  On Solomon c101 this reaches within ~3% of the
-        published optimum at the optimal vehicle count (docs/performance.md);
-        distance-only scoring (wait_w = urgency_w = 0) is ~2x worse."""
+        is feasible.  Measured results on the COMMITTED instance
+        (rlsolver/data/rand24_vrptw.txt) are in docs/performance.md;
+        distance-only scoring (wait_w = urgency_w = 0) measured ~2x worse
+        on that instance.  Real Solomon files (c101 etc.) load with
+        ``read_solomon`` unchanged."""
         mean_d = jnp.mean(self.dist)
 
         def step(carry, key_t):
