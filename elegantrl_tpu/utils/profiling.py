@@ -174,7 +174,9 @@ def parse_device_trace(log_dir: str) -> Optional[Dict[str, object]]:
             flops += float(args.get('model_flops', 0))
             cat = args.get('hlo_category', '?')
             by_cat[cat] += dur_ps * 1e-12
-            if cat != 'while':   # 'while' rows span their children
+            # 'while' and 'conditional' rows SPAN their body ops (nested
+            # time) — summing them alongside their children double-counts
+            if cat not in ('while', 'conditional'):
                 by_op[e.get('name', '?')] += dur_ps * 1e-12
                 op_count[e.get('name', '?')] += 1
     if busy_ps == 0:
