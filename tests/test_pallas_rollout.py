@@ -647,3 +647,32 @@ def test_sharded_fast_path_trains():
     shards = [np.asarray(sh.data) for sh in leaf.addressable_shards]
     for sh in shards[1:]:
         np.testing.assert_array_equal(shards[0], sh)
+
+
+def test_bf16_compute_dtype_close_to_f32():
+    """The bf16-compute kernel variant (round 5, `_bf16_dot`: bf16 matmul
+    operands, f32 accumulation) must produce rollouts close to the f32
+    kernel — same env transitions modulo bf16 rounding of the policy
+    outputs — and actually differ (proving the cast is live)."""
+    from elegantrl_tpu.envs.pendulum import make_pendulum
+    args = Config()
+    args.net_dims = NET_DIMS
+    agent = make_ppo(NET_DIMS, 3, 1, args)
+    s = agent.init(jax.random.PRNGKey(0))
+    env = make_pendulum()
+    n, h = 16, 16
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    env_state = jax.vmap(env.init)(keys)
+    obs = jax.vmap(env.obs)(env_state)
+    from elegantrl_tpu.ops.pallas_rollout import PENDULUM_BODY
+    mk = lambda cd: make_fused_rollout(
+        PENDULUM_BODY, NET_DIMS, h, n, 1.0, discrete=False, block=8,
+        interpret=True, compute_dtype=cd)
+    ro32, _, _ = mk(None)(s, env_state, obs, jax.random.PRNGKey(3))
+    ro16, _, _ = mk('bfloat16')(s, env_state, obs, jax.random.PRNGKey(3))
+    a32 = np.asarray(ro32.actions)
+    a16 = np.asarray(ro16.actions)
+    assert not np.array_equal(a32, a16)          # the cast is live
+    np.testing.assert_allclose(a16, a32, rtol=0.1, atol=0.05)
+    np.testing.assert_allclose(np.asarray(ro16.rewards),
+                               np.asarray(ro32.rewards), rtol=0.2, atol=0.2)
