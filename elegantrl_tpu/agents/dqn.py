@@ -247,8 +247,9 @@ def make_dqn(net_dims, state_dim: int, action_dim: int, args,
             def chunk_body(ci, carry):
                 p, t, mu, nu, sums = carry
                 idx = ci * C + jnp.arange(C)
-                # the scan path's exact ids: fold_in per update index, then
-                # one uniform randint draw (replay_buffer.py:sample)
+                # the scan path's exact keys: fold_in per update index;
+                # the draw matches the active sampler (sample_rows /
+                # sample, replay_buffer.py) so fused == scan minibatches
                 keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
                 if row_sample:   # contiguous row slabs (sample_rows keys)
                     R = batch_size // N
