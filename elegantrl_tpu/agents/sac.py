@@ -305,10 +305,16 @@ def make_sac(net_dims, state_dim: int, action_dim: int, args, buffer,
         # envelope, so wide batches ride the kernel instead of falling back
         # to the 15-sequential-cond scan path (2.77 ms/round busy there vs
         # 1.02 ms on the kernel at the sac_hopper shape, SOL_BREAKDOWN r5).
+        # width cap 128: the (256,256)-wide SAC chunk measured a 105.76M
+        # scoped stack at batch 1024 (over the raised limit; lane-chunking
+        # does NOT shrink the Mosaic stack proportionally — the unrolled
+        # chunks' frames don't share slots), so 256-wide SAC configs stay
+        # on the scan path exactly as in round 4
         lane_chunk = None
         for lc in (2048, 1024, 512, 256, 128):
             if (lc <= batch_size and batch_size % lc == 0
-                    and max(net_dims) * lc <= 131072):
+                    and max(net_dims) * lc <= 131072
+                    and max(net_dims) <= 128):
                 lane_chunk = lc
                 break
         forced_lc = getattr(args, 'sac_lane_chunk', None)
