@@ -139,8 +139,17 @@ class ReplayBuffer:
         the gather with ``R`` dynamic slices of contiguous rows.  Sampling
         semantics: each transition still appears with equal probability;
         the difference is that a minibatch's samples share time indices
-        across the (independent) env axis instead of being fully iid —
-        learning-verified on every off-policy RESULTS.md row.
+        across the (independent) env axis instead of being fully iid.
+
+        Learning-verified on every off-policy RESULTS.md row EXCEPT one
+        measured limitation: SAC on host MuJoCo Hopper (64 envs, batch
+        512 -> only R=8 distinct time rows per minibatch) plateaued
+        deterministically at avgR ~740 where iid draws reach >3000 — the
+        temporal minibatch diversity matters when R is small AND the task
+        has a narrow optimum.  That config sets
+        ``args.replay_row_sample = False`` (scripts/verify_learning.py
+        ``_run_sac_mujoco_host``); every other row (R from 1@1024 envs to
+        32@8 envs) learns to target on rows.
 
         Same return contract as :meth:`sample`.
         """
