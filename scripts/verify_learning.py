@@ -494,19 +494,22 @@ def _run_ppoh_hopper_mujoco_host():
 
 
 def _run_sac_mujoco_host(env_id: str, break_score: float, break_step: int,
-                         resumable: bool = False, row_sample=None):
+                         resumable: bool = False, row_sample=False):
     """Plain SAC on a REAL MuJoCo task through host-rollout mode — the
     off-policy counterpart of the ppoh row (no reference baseline exists;
     its MuJoCo entries are stale scripts).  1 update per 16 env-steps via
     repeat_times (64 parallel envs need a higher update-to-data ratio than
     the formula's default gives).
 
-    ``row_sample``: Hopper-v5 passes False — with row-stratified replay
-    (batch 512 / 64 envs = only 8 distinct time rows per minibatch) SAC
-    plateaued deterministically at avgR ~740 (two full round-5 campaign
-    attempts), while HalfCheetah/Ant/Walker/Humanoid passed with rows on;
-    Hopper's narrow hop-cycle optimum evidently needs the extra temporal
-    minibatch diversity of iid draws at this small env count."""
+    ``row_sample`` defaults False for this host recipe: with
+    row-stratified replay (batch 512 / 64 envs = only 8 distinct time
+    rows per minibatch) SAC plateaued deterministically on the
+    narrow-optimum locomotion tasks — Hopper-v5 at avgR ~740 where iid
+    reaches 3264 (A/B at identical seed/steps, round-5 campaign), and
+    BipedalWalker at -58 after 4.4e5 steps where iid solved at 4.9e4.
+    HalfCheetah/Ant (wide reward basins) passed with rows on, but R=8
+    temporal diversity is evidently the wrong default for this family;
+    the massively-parallel configs (R>=1 at >=1024 envs) keep rows."""
     from elegantrl_tpu.agents import AgentSAC
     from elegantrl_tpu.envs.gym_parity import gym_env_def, get_env_args
     from elegantrl_tpu.train.runner import train_agent
