@@ -477,7 +477,14 @@ def _run_ppoh_hopper_mujoco_host():
     reference's README headline benchmark family (README.md:153 "Hopper-v2
     PPO+H ~6x faster than SB3", examples/plan_Hopper-v2_H.py which cannot run
     there: AgentPPOHterm is absent from the reference core).  Env steps on
-    threaded host MuJoCo (mj_step releases the GIL), SGD on the TPU."""
+    threaded host MuJoCo (mj_step releases the GIL), SGD on the TPU.
+
+    Variance note (round 5): host thread-pool episode ordering makes this
+    row nondeterministic — the same config measured max 2642 (round-4
+    campaign, break_score hit at 3e6 steps) and 840/781 (two round-5
+    attempts to the full 6e6 budget); Hopper PPO is famously bimodal
+    around the ~800 single-hop local optimum.  RESULTS.md records
+    whatever the latest campaign measured."""
     from elegantrl_tpu.agents import AgentPPOHterm
     from elegantrl_tpu.envs.gym_parity import gym_env_def, get_env_args
     from elegantrl_tpu.train.runner import train_agent
